@@ -1,0 +1,125 @@
+"""The per-pair registration stage: FPFH -> RANSAC -> ICP -> info matrix.
+
+This is the reference's GlobalRegistration executable body for one fragment
+pair (SURVEY.md §3.2), composed as a single jittable function so it can be
+vmapped over pair batches and sharded over the device mesh (the TPU analog of
+the reference's cluster of independent registration jobs).
+
+Convention: the returned ``transform`` maps fragment-j points into fragment
+i's frame (``T @ p_j ~= p_i``), matching the RegistrationResult contract in
+:mod:`..core.types` and the reference's result .log record for edge (i, j).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.types import PointCloud, RegistrationResult
+from ..kernels import fpfh as _fpfh
+from ..kernels import normals as _normals
+from ..kernels import voxel_grid as _voxel
+from . import features as _features
+from . import icp as _icp
+from . import infomat as _infomat
+from . import ransac as _ransac
+
+
+class RegistrationConfig(NamedTuple):
+    """Stage constants.
+
+    Defaults mirror the reference's published recipe (5 cm matching voxel,
+    ~1.5-voxel inlier band — SURVEY.md §3.2; exact reference constants are
+    [K?] pending a populated mount).
+    """
+
+    voxel_size: float = 0.05  # coarse voxel for features/RANSAC
+    icp_voxel_size: float = 0.025  # fine voxel for ICP refinement
+    coarse_capacity: int = 4096
+    fine_capacity: int = 8192
+    normal_k: int = 16
+    fpfh_k: int = 64
+    inlier_threshold: float = 0.075
+    edge_similarity: float = 0.9
+    num_hypotheses: int = 4096
+    icp_iterations: int = 30
+    min_inliers: int = 12
+    min_fitness: float = 0.25  # min fraction of src points matched after ICP
+
+
+@partial(jax.jit, static_argnames=("config",))
+def register_pair(
+    cloud_i: PointCloud,
+    cloud_j: PointCloud,
+    key: jax.Array,
+    config: RegistrationConfig = RegistrationConfig(),
+    pair_indices: tuple[jax.Array, jax.Array] | None = None,
+) -> RegistrationResult:
+    """Register fragment j onto fragment i; both clouds in their local frames."""
+    cfg = config
+
+    def prep(cloud):
+        ds = _voxel.voxel_downsample(cloud, cfg.voxel_size, cfg.coarse_capacity)
+        ds = _normals.estimate_normals(ds, k=cfg.normal_k)
+        feat = _fpfh.fpfh(ds, k=cfg.fpfh_k)
+        return ds, feat
+
+    ds_i, feat_i = prep(cloud_i)
+    ds_j, feat_j = prep(cloud_j)
+
+    corr, corr_mask = _features.match_features(feat_j, ds_j.mask, feat_i, ds_i.mask)
+    rr = _ransac.ransac_alignment(
+        ds_j.points,
+        ds_i.points,
+        corr,
+        corr_mask,
+        key,
+        inlier_threshold=cfg.inlier_threshold,
+        edge_similarity=cfg.edge_similarity,
+        num_hypotheses=cfg.num_hypotheses,
+    )
+
+    fine_i = _normals.estimate_normals(
+        _voxel.voxel_downsample(cloud_i, cfg.icp_voxel_size, cfg.fine_capacity),
+        k=cfg.normal_k,
+    )
+    fine_j = _voxel.voxel_downsample(cloud_j, cfg.icp_voxel_size, cfg.fine_capacity)
+    ir = _icp.icp_point_to_plane(
+        fine_j,
+        fine_i,
+        rr.transform,
+        max_correspondence_distance=cfg.inlier_threshold,
+        iterations=cfg.icp_iterations,
+    )
+
+    # Information matrix over src points expressed in the target (i) frame,
+    # restricted to points that found a close match under the final transform.
+    p = se3.apply(ir.transform, fine_j.points)
+    from ..kernels import knn as _knn
+
+    d2, _ = _knn.nearest(p, fine_i.points, fine_i.mask)
+    inl = fine_j.mask & (d2 < cfg.inlier_threshold**2)
+    info = _infomat.information_matrix(p, inl)
+
+    success = (
+        (rr.num_inliers >= cfg.min_inliers)
+        & (ir.fitness >= cfg.min_fitness)
+        & jnp.all(jnp.isfinite(ir.transform))
+    )
+    i_idx, j_idx = pair_indices if pair_indices is not None else (
+        jnp.int32(0),
+        jnp.int32(1),
+    )
+    return RegistrationResult(
+        i=i_idx,
+        j=j_idx,
+        transform=ir.transform,
+        information=info,
+        num_inliers=rr.num_inliers,
+        fitness=ir.fitness,
+        success=success,
+    )
