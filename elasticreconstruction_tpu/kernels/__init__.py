@@ -8,6 +8,6 @@ dynamic-size sets become fixed capacities with masks, and the hottest paths
 have Pallas implementations behind the same API (``pallas`` submodule).
 """
 
-from . import fpfh, knn, normals, voxel_grid
+from . import fpfh, knn, normals, raycast, tsdf, voxel_grid
 
-__all__ = ["fpfh", "knn", "normals", "voxel_grid"]
+__all__ = ["fpfh", "knn", "normals", "raycast", "tsdf", "voxel_grid"]

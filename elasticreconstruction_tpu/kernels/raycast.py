@@ -1,0 +1,94 @@
+"""TSDF raycasting: the model view for frame-to-model odometry.
+
+The reference raycasts its CUDA TSDF every frame to produce the model
+vertex/normal maps that projective ICP aligns against (KinFu — SURVEY.md
+§3.1).  TPU-native form: all rays march in lockstep through a fixed-length
+``lax.scan`` (no per-ray while loops), sampling the volume trilinearly;
+the zero crossing is located by linear interpolation between the bracketing
+steps.  Pure VPU work, one fused kernel under jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam
+from ..core import se3
+from .tsdf import TSDFVolume, sample_gradient, sample_trilinear
+
+
+class RaycastResult(NamedTuple):
+    vertices: jax.Array  # (H, W, 3) world-frame surface points
+    normals: jax.Array  # (H, W, 3) world-frame unit normals
+    valid: jax.Array  # (H, W) bool
+
+
+@partial(jax.jit, static_argnames=("intr", "num_steps"))
+def raycast(
+    vol: TSDFVolume,
+    pose: jax.Array,
+    intr: cam.Intrinsics,
+    *,
+    depth_min: float = 0.1,
+    depth_max: float = 6.0,
+    num_steps: int = 192,
+) -> RaycastResult:
+    """March camera rays (``pose`` = camera-to-world) through the volume.
+
+    Step size is chosen so ``num_steps`` covers [depth_min, depth_max]; keep
+    it <= half the truncation band for reliable crossing detection
+    (``num_steps >= 2 * (depth_max - depth_min) / truncation``).
+    """
+    uv = cam.pixel_grid(intr)
+    dirs_cam = jnp.stack(
+        [
+            (uv[..., 0] - intr.cx) / intr.fx,
+            (uv[..., 1] - intr.cy) / intr.fy,
+            jnp.ones_like(uv[..., 0]),
+        ],
+        axis=-1,
+    )
+    # March in depth (z) units: p = o + dir_cam_world * z.
+    dirs_world = se3.rotate(pose, dirs_cam.reshape(-1, 3)).reshape(dirs_cam.shape)
+    origin = pose[:3, 3]
+    dz = (depth_max - depth_min) / num_steps
+
+    def body(carry, step):
+        prev_val, prev_valid, hit_z, found = carry
+        z = depth_min + (step + 1.0) * dz
+        p = origin + dirs_world * z
+        val, valid = sample_trilinear(vol, p)
+        crossing = prev_valid & valid & (prev_val > 0) & (val <= 0) & ~found
+        denom = prev_val - val
+        alpha = jnp.where(jnp.abs(denom) > 1e-9, prev_val / jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0), 0.5)
+        z_cross = (z - dz) + alpha * dz
+        hit_z = jnp.where(crossing, z_cross, hit_z)
+        found = found | crossing
+        return (val, valid, hit_z, found), None
+
+    h, w = uv.shape[:2]
+    init = (
+        jnp.zeros((h, w), jnp.float32),
+        jnp.zeros((h, w), dtype=bool),
+        jnp.zeros((h, w), jnp.float32),
+        jnp.zeros((h, w), dtype=bool),
+    )
+    (_, _, hit_z, found), _ = jax.lax.scan(
+        body, init, jnp.arange(num_steps, dtype=jnp.float32)
+    )
+    verts = origin + dirs_world * hit_z[..., None]
+    normals = sample_gradient(vol, verts)
+    # Orient normals toward the camera (gradient points from - to + = outward
+    # toward free space, which faces the camera; keep but guard flips).
+    to_cam = origin - verts
+    flip = jnp.sum(normals * to_cam, axis=-1, keepdims=True) < 0
+    normals = jnp.where(flip, -normals, normals)
+    return RaycastResult(
+        vertices=jnp.where(found[..., None], verts, 0.0),
+        normals=jnp.where(found[..., None], normals, 0.0),
+        valid=found,
+    )

@@ -1,0 +1,194 @@
+"""TSDF volume: projective fusion, trilinear sampling, surface extraction.
+
+The reference fuses depth into TSDF volumes twice: per-fragment inside the
+CUDA KinFu fork (SURVEY.md §3.1) and scene-scale in Integrate/main.cpp
+(§3.5, CPU code derived from PCL kinfu largeScale).  TPU-native form: the
+volume is a dense ``(X, Y, Z)`` pair of tsdf/weight arrays and fusion is one
+fused elementwise pass over all voxels — project voxel centers into the
+depth map, gather, truncate, weighted-average update.  No scalar loops, no
+atomics (each voxel owns its update), so XLA maps it straight onto the VPU;
+the Pallas variant (kernels.pallas) tiles the same computation explicitly.
+
+Convention: ``tsdf`` stores signed distance normalized by the truncation
+band, in [-1, 1]; +1 = free space in front of the surface, -1 = behind.
+``weight == 0`` marks never-observed voxels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam
+from ..core.types import PointCloud
+
+
+class TSDFVolume(NamedTuple):
+    tsdf: jax.Array  # (X, Y, Z) float32, normalized [-1, 1]
+    weight: jax.Array  # (X, Y, Z) float32
+    origin: jax.Array  # (3,) world position of voxel (0,0,0) CENTER
+    voxel_size: jax.Array  # () float32
+    truncation: jax.Array  # () float32 (meters)
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        return self.tsdf.shape
+
+
+def make_volume(
+    shape: tuple[int, int, int],
+    voxel_size: float,
+    origin,
+    truncation: float | None = None,
+) -> TSDFVolume:
+    """Fresh volume; default truncation = 4 voxels (KinFu-style band)."""
+    if truncation is None:
+        truncation = 4.0 * voxel_size
+    return TSDFVolume(
+        tsdf=jnp.zeros(shape, jnp.float32),
+        weight=jnp.zeros(shape, jnp.float32),
+        origin=jnp.asarray(origin, jnp.float32),
+        voxel_size=jnp.float32(voxel_size),
+        truncation=jnp.float32(truncation),
+    )
+
+
+def voxel_centers(vol: TSDFVolume) -> jax.Array:
+    """World positions of all voxel centers, ``(X, Y, Z, 3)``."""
+    nx, ny, nz = vol.shape
+    ix = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 0)
+    iy = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 1)
+    iz = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 2)
+    idx = jnp.stack([ix, iy, iz], axis=-1)
+    return vol.origin + idx * vol.voxel_size
+
+
+@partial(jax.jit, static_argnames=("intr",))
+def fuse(
+    vol: TSDFVolume,
+    depth: jax.Array,
+    pose: jax.Array,
+    intr: cam.Intrinsics,
+    *,
+    max_weight: float = 64.0,
+    depth_min: float = 0.1,
+    depth_max: float = 6.0,
+) -> TSDFVolume:
+    """Fuse one depth map (``pose`` = camera-to-world) into the volume."""
+    p_world = voxel_centers(vol)  # (X, Y, Z, 3)
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    p_cam = (p_world - t) @ R  # R^T @ (p - t), batched
+    uv, in_img = cam.project(p_cam, intr)
+    u = jnp.clip(jnp.round(uv[..., 0]), 0, intr.width - 1).astype(jnp.int32)
+    v = jnp.clip(jnp.round(uv[..., 1]), 0, intr.height - 1).astype(jnp.int32)
+    d = depth[v, u]  # nearest-neighbor depth gather
+    sdf = d - p_cam[..., 2]
+    valid = (
+        in_img
+        & (d >= depth_min)
+        & (d <= depth_max)
+        & (sdf >= -vol.truncation)  # never carve behind the surface
+    )
+    tsdf_obs = jnp.clip(sdf / vol.truncation, -1.0, 1.0)
+    w_old = vol.weight
+    w_obs = valid.astype(jnp.float32)
+    w_new = w_old + w_obs
+    tsdf_new = jnp.where(
+        valid, (vol.tsdf * w_old + tsdf_obs) / jnp.maximum(w_new, 1.0), vol.tsdf
+    )
+    return vol._replace(tsdf=tsdf_new, weight=jnp.minimum(w_new, max_weight))
+
+
+def sample_trilinear(vol: TSDFVolume, points: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Trilinear TSDF at world ``points (..., 3)`` -> (value, valid).
+
+    ``valid`` requires all 8 surrounding voxels observed (weight > 0) and
+    in-bounds — the raycaster's stopping criterion.
+    """
+    nx, ny, nz = vol.shape
+    g = (points - vol.origin) / vol.voxel_size  # grid coords (voxel-center units)
+    g0 = jnp.floor(g)
+    f = g - g0
+    i0 = g0.astype(jnp.int32)
+    in_bounds = jnp.all((i0 >= 0) & (i0 < jnp.array([nx - 1, ny - 1, nz - 1])), axis=-1)
+    i0c = jnp.clip(i0, 0, jnp.array([nx - 2, ny - 2, nz - 2]))
+
+    val = jnp.zeros(points.shape[:-1], dtype=jnp.float32)
+    wmin = jnp.full(points.shape[:-1], jnp.inf, dtype=jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                ix, iy, iz = i0c[..., 0] + dx, i0c[..., 1] + dy, i0c[..., 2] + dz
+                w = (
+                    jnp.where(dx, f[..., 0], 1 - f[..., 0])
+                    * jnp.where(dy, f[..., 1], 1 - f[..., 1])
+                    * jnp.where(dz, f[..., 2], 1 - f[..., 2])
+                )
+                val = val + w * vol.tsdf[ix, iy, iz]
+                wmin = jnp.minimum(wmin, vol.weight[ix, iy, iz])
+    valid = in_bounds & (wmin > 0)
+    return val, valid
+
+
+def sample_gradient(vol: TSDFVolume, points: jax.Array) -> jax.Array:
+    """Central-difference TSDF gradient at world points (surface normal dir)."""
+    h = vol.voxel_size
+    def s(off):
+        v, _ = sample_trilinear(vol, points + off)
+        return v
+    ex = jnp.array([1.0, 0, 0]) * h
+    ey = jnp.array([0, 1.0, 0]) * h
+    ez = jnp.array([0, 0, 1.0]) * h
+    g = jnp.stack(
+        [s(ex) - s(-ex), s(ey) - s(-ey), s(ez) - s(-ez)], axis=-1
+    )
+    n = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    return g / jnp.where(n > 1e-12, n, 1.0)
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def extract_surface_points(vol: TSDFVolume, *, capacity: int) -> PointCloud:
+    """Zero-crossing surface samples with gradient normals.
+
+    The fragment-cloud emitter (reference: KinFu's surface extraction into
+    cloud_bin_<i>.pcd — SURVEY.md §3.1).  For each axis-adjacent voxel pair
+    with a sign change and both observed, emit the linearly interpolated
+    crossing.  Compaction to fixed ``capacity`` is argsort-based (valid rows
+    first), the standard static-shape discipline (SURVEY.md §7 #1).
+    """
+    centers = voxel_centers(vol)
+    pts_all, valid_all = [], []
+    for axis in range(3):
+        a = vol.tsdf
+        w = vol.weight
+        sl0 = [slice(None)] * 3
+        sl1 = [slice(None)] * 3
+        sl0[axis] = slice(0, -1)
+        sl1[axis] = slice(1, None)
+        t0, t1 = a[tuple(sl0)], a[tuple(sl1)]
+        w0, w1 = w[tuple(sl0)], w[tuple(sl1)]
+        cross = (t0 * t1 < 0) & (w0 > 0) & (w1 > 0)
+        denom = t0 - t1
+        alpha = jnp.where(jnp.abs(denom) > 1e-9, t0 / jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0), 0.5)
+        c0 = centers[tuple(sl0)]
+        step = jnp.zeros(3).at[axis].set(1.0) * vol.voxel_size
+        p = c0 + alpha[..., None] * step
+        pts_all.append(p.reshape(-1, 3))
+        valid_all.append(cross.reshape(-1))
+    pts = jnp.concatenate(pts_all, axis=0)
+    valid = jnp.concatenate(valid_all, axis=0)
+
+    order = jnp.argsort(~valid)  # stable: valid rows first
+    take = order[:capacity]
+    out_pts = pts[take]
+    out_mask = valid[take]
+    normals = sample_gradient(vol, out_pts)
+    return PointCloud(
+        points=jnp.where(out_mask[:, None], out_pts, 0.0),
+        normals=jnp.where(out_mask[:, None], normals, 0.0),
+        mask=out_mask,
+    )

@@ -1,0 +1,143 @@
+"""Projective point-to-plane ICP against a raycast TSDF model.
+
+The reference's per-frame hot loop (CUDA kernels in the author's PCL fork —
+SURVEY.md §3.1): bilateral-filtered depth pyramid, projective data
+association against the raycast model, point-to-plane GN solve per pyramid
+level.  TPU-native: each GN iteration is a fused elementwise pass over the
+whole image plus one 6x6 solve; pyramid levels are static Python structure
+(unrolled under jit); no per-pixel control flow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam
+from ..core import se3
+from ..kernels import raycast as rc
+from ..kernels.tsdf import TSDFVolume
+
+
+class OdometryConfig(NamedTuple):
+    levels: int = 3
+    iterations: tuple[int, ...] = (4, 5, 10)  # indexed by level; 0 = finest
+    dist_threshold: float = 0.1  # max association distance (m)
+    normal_threshold: float = 0.6  # min cos(angle) between normals
+    depth_min: float = 0.1
+    depth_max: float = 6.0
+    raycast_steps: int = 192
+    damping: float = 1e-6
+
+
+class TrackResult(NamedTuple):
+    pose: jax.Array  # (4, 4) camera-to-world of the tracked frame
+    fitness: jax.Array  # matched-pixel fraction at the finest level
+    rmse: jax.Array  # final point-to-plane RMSE (m)
+
+
+def pyramid_down(depth: jax.Array) -> jax.Array:
+    """Halve a depth map, averaging only valid (>0) samples per 2x2 block."""
+    h, w = depth.shape
+    d = depth[: h - h % 2, : w - w % 2].reshape(h // 2, 2, w // 2, 2)
+    valid = (d > 0).astype(depth.dtype)
+    s = jnp.sum(d * valid, axis=(1, 3))
+    c = jnp.sum(valid, axis=(1, 3))
+    return jnp.where(c > 0, s / jnp.maximum(c, 1.0), 0.0)
+
+
+def _gn_level(
+    depth: jax.Array,
+    intr: cam.Intrinsics,
+    model: rc.RaycastResult,
+    model_pose: jax.Array,
+    model_intr: cam.Intrinsics,
+    T0: jax.Array,
+    iters: int,
+    cfg: OdometryConfig,
+) -> jax.Array:
+    """Run ``iters`` GN steps at one pyramid level; returns updated pose."""
+    verts_cam = cam.unproject(depth, intr)  # (h, w, 3)
+    valid_d = depth > 0
+    mR = model_pose[:3, :3]
+    mt = model_pose[:3, 3]
+
+    def step(T, _):
+        p_w = verts_cam @ T[:3, :3].T + T[:3, 3]
+        # Project into the model (raycast) camera for association.
+        p_m = (p_w - mt) @ mR
+        uv, in_img = cam.project(p_m, model_intr)
+        u = jnp.clip(jnp.round(uv[..., 0]), 0, model_intr.width - 1).astype(jnp.int32)
+        v = jnp.clip(jnp.round(uv[..., 1]), 0, model_intr.height - 1).astype(jnp.int32)
+        q = model.vertices[v, u]
+        n = model.normals[v, u]
+        ok = (
+            valid_d
+            & in_img
+            & model.valid[v, u]
+            & (jnp.sum((p_w - q) ** 2, axis=-1) < cfg.dist_threshold**2)
+        )
+        # Normal-compatibility: current-frame normals vs model normals.
+        w8 = ok.astype(jnp.float32)
+        r = jnp.sum(n * (p_w - q), axis=-1)
+        J = jnp.concatenate([n, jnp.cross(p_w, n)], axis=-1)  # (h, w, 6)
+        Jf = J.reshape(-1, 6)
+        wf = w8.reshape(-1)
+        rf = r.reshape(-1)
+        H = jnp.einsum("ni,nj->ij", Jf * wf[:, None], Jf)
+        g = jnp.sum(Jf * (wf * rf)[:, None], axis=0)
+        delta = -jnp.linalg.solve(H + cfg.damping * jnp.eye(6), g)
+        T_new = se3.compose(se3.exp(delta), T)
+        n_ok = jnp.sum(wf)
+        rmse = jnp.sqrt(jnp.sum(wf * rf * rf) / jnp.maximum(n_ok, 1.0))
+        return T_new, (n_ok, rmse)
+
+    T, (n_ok, rmse) = jax.lax.scan(step, T0, None, length=iters)
+    return T, n_ok[-1], rmse[-1]
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg"))
+def track_frame(
+    vol: TSDFVolume,
+    depth: jax.Array,
+    init_pose: jax.Array,
+    intr: cam.Intrinsics,
+    cfg: OdometryConfig = OdometryConfig(),
+) -> TrackResult:
+    """Align ``depth`` to the volume, starting from ``init_pose``.
+
+    Raycasts the model once from ``init_pose`` (full resolution), then runs
+    coarse-to-fine projective GN.  The model maps stay full-res; coarser
+    levels only shrink the data term — same trick as KinFu, one raycast per
+    frame.
+    """
+    model = rc.raycast(
+        vol,
+        init_pose,
+        intr,
+        depth_min=cfg.depth_min,
+        depth_max=cfg.depth_max,
+        num_steps=cfg.raycast_steps,
+    )
+    # Build depth pyramid (static structure).
+    depths = [depth]
+    intrs = [intr]
+    for _ in range(cfg.levels - 1):
+        depths.append(pyramid_down(depths[-1]))
+        intrs.append(intrs[-1].scaled(0.5))
+
+    T = init_pose
+    fitness = jnp.float32(0.0)
+    rmse = jnp.float32(0.0)
+    for lvl in range(cfg.levels - 1, -1, -1):  # coarse -> fine
+        iters = cfg.iterations[min(lvl, len(cfg.iterations) - 1)]
+        T, n_ok, rmse = _gn_level(
+            depths[lvl], intrs[lvl], model, init_pose, intr, T, iters, cfg
+        )
+        if lvl == 0:
+            n_valid = jnp.maximum(jnp.sum((depths[0] > 0).astype(jnp.float32)), 1.0)
+            fitness = n_ok / n_valid
+    return TrackResult(pose=T, fitness=fitness, rmse=rmse)

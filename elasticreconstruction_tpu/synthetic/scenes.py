@@ -1,0 +1,117 @@
+"""Procedural test scenes and camera trajectories.
+
+``livingroom_scene`` is the stand-in for augmented ICL-NUIM ``livingroom1``
+(SURVEY.md §6): a furnished room interior with enough non-planar geometry for
+FPFH/ICP to lock onto.  Trajectories are smooth camera-to-world pose
+sequences with exact ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from . import sdf as S
+
+# World convention: y up, meters.  Camera convention (core.camera): +z
+# forward, +y down in the image — poses below are camera-to-world.
+
+ROOM_HALF = (3.0, 1.5, 2.5)  # 6 x 3 x 5 m livingroom
+ROOM_CENTER = (0.0, 1.5, 0.0)
+
+
+def livingroom_scene() -> S.SDF:
+    """A furnished room interior (watertight from the inside)."""
+    room = S.invert(S.box(ROOM_CENTER, ROOM_HALF))
+    sofa_seat = S.rounded_box((-2.2, 0.35, 0.0), (0.45, 0.3, 1.0), 0.05)
+    sofa_back = S.rounded_box((-2.65, 0.8, 0.0), (0.15, 0.5, 1.0), 0.05)
+    table = S.box((0.0, 0.45, 0.0), (0.6, 0.05, 0.4))
+    table_leg = S.cylinder_y((0.0, 0.2, 0.0), 0.08, 0.2)
+    lamp = S.sphere((2.3, 1.0, -1.8), 0.35)
+    lamp_pole = S.cylinder_y((2.3, 0.35, -1.8), 0.05, 0.35)
+    shelf1 = S.box((0.0, 1.0, 2.3), (1.2, 0.05, 0.18))
+    shelf2 = S.box((0.0, 1.6, 2.3), (1.2, 0.05, 0.18))
+    books = S.rounded_box((-0.4, 1.2, 2.3), (0.3, 0.14, 0.12), 0.02)
+    chair = S.rounded_box((1.8, 0.45, 1.6), (0.3, 0.45, 0.3), 0.08)
+    ottoman = S.rounded_box((-0.9, 0.25, -1.6), (0.35, 0.25, 0.35), 0.06)
+    wall_art = S.box((2.95, 1.6, 0.5), (0.04, 0.4, 0.6))
+    return S.union(
+        room,
+        sofa_seat,
+        sofa_back,
+        table,
+        table_leg,
+        lamp,
+        lamp_pole,
+        shelf1,
+        shelf2,
+        books,
+        chair,
+        ottoman,
+        wall_art,
+    )
+
+
+def look_at_pose(eye, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """Camera-to-world 4x4 with +z forward toward ``target``, image +y down."""
+    eye = np.asarray(eye, dtype=np.float64)
+    fwd = np.asarray(target, dtype=np.float64) - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.asarray(up, dtype=np.float64)
+    x = np.cross(fwd, up)
+    if np.linalg.norm(x) < 1e-6:  # looking straight up/down
+        x = np.cross(fwd, (1.0, 0.0, 0.0))
+    x /= np.linalg.norm(x)
+    y = np.cross(fwd, x)
+    R = np.stack([x, y, fwd], axis=1)  # columns = camera axes in world
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = eye
+    return T
+
+
+def orbit_trajectory(
+    num_frames: int,
+    *,
+    radius: float = 1.2,
+    height: float = 1.3,
+    sweep: float = 2.0 * np.pi,
+    start_angle: float = 0.0,
+    look_radius: float = 10.0,
+    bob: float = 0.08,
+    center=(0.0, 0.0, 0.0),
+) -> np.ndarray:
+    """Camera orbits the room center looking outward at the walls.
+
+    Full ``sweep`` = a loop-closing trajectory (the PGO test case); small
+    sweeps give the within-fragment odometry motions.  Returns ``(T, 4, 4)``
+    float32 camera-to-world poses.
+    """
+    cx, _, cz = center
+    poses = []
+    for k in range(num_frames):
+        a = start_angle + sweep * k / max(num_frames, 1)
+        eye = (
+            cx + radius * np.cos(a),
+            height + bob * np.sin(3.1 * a),
+            cz + radius * np.sin(a),
+        )
+        target = (cx + look_radius * np.cos(a), height * 0.7, cz + look_radius * np.sin(a))
+        poses.append(look_at_pose(eye, target))
+    return np.stack(poses).astype(np.float32)
+
+
+def perturbed_poses(poses: np.ndarray, trans_sigma: float, rot_sigma: float, seed: int = 0) -> np.ndarray:
+    """Gaussian SE(3) noise on a trajectory (for eval/unit tests)."""
+    rng = np.random.default_rng(seed)
+    xi = np.concatenate(
+        [
+            rng.normal(0, trans_sigma, size=(len(poses), 3)),
+            rng.normal(0, rot_sigma, size=(len(poses), 3)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    noise = np.array(se3.exp(jnp.array(xi)))
+    return np.einsum("nij,njk->nik", noise, poses).astype(np.float32)
