@@ -67,8 +67,13 @@ def so3_log(rot: jax.Array) -> jax.Array:
     """
     trace = rot[..., 0, 0] + rot[..., 1, 1] + rot[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)  # in [0, pi]
     w = vee(rot - jnp.swapaxes(rot, -1, -2)) * 0.5  # = sin(theta) * axis
+    # theta via atan2(|w|, cos) rather than arccos(cos): arccos has an
+    # infinite derivative at +-1, which poisons jacfwd-computed pose-graph
+    # Jacobians for near-identity residuals.  The +1e-12 inside the sqrt
+    # keeps the derivative finite at w = 0 (bias ~1e-6 rad, below f32 noise).
+    sin_theta_est = jnp.sqrt(jnp.sum(w * w, axis=-1) + 1e-12)
+    theta = jnp.arctan2(sin_theta_est, cos_theta)  # in [0, pi]
 
     small = theta < _SMALL_ANGLE
     near_pi = theta > jnp.pi - 1e-2
@@ -83,7 +88,8 @@ def so3_log(rot: jax.Array) -> jax.Array:
     # Near-pi branch: |axis_i| from diagonal, signs fixed from the largest
     # component's off-diagonal sums.
     diag = jnp.stack([rot[..., 0, 0], rot[..., 1, 1], rot[..., 2, 2]], axis=-1)
-    axis_abs = jnp.sqrt(jnp.clip((diag - cos_theta[..., None]) / (1.0 - cos_theta[..., None] + 1e-12), 0.0, None))
+    # Floor at 1e-12 (not 0): sqrt'(0) is infinite and would NaN jacfwd.
+    axis_abs = jnp.sqrt(jnp.clip((diag - cos_theta[..., None]) / (1.0 - cos_theta[..., None] + 1e-12), 1e-12, None))
     # Off-diagonal products give relative signs: r_ij + r_ji = 2 a_i a_j (1-cos).
     s01 = rot[..., 0, 1] + rot[..., 1, 0]
     s02 = rot[..., 0, 2] + rot[..., 2, 0]
