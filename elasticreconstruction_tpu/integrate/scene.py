@@ -61,6 +61,64 @@ def integrate_frames(
     return vol
 
 
+@partial(jax.jit, static_argnames=("intr", "cfg", "lat"))
+def integrate_frames_slac(
+    vol: _tsdf.TSDFVolume,
+    depths: jax.Array,
+    frag_poses: jax.Array,
+    local_poses: jax.Array,
+    displacement: jax.Array,
+    lat,
+    intr: cam.Intrinsics,
+    cfg: SceneConfig = SceneConfig(),
+) -> _tsdf.TSDFVolume:
+    """Fuse a chunk with the SLAC/elastic lattice correction applied.
+
+    Per frame k: voxel world point -> fragment-local via ``frag_poses[k]^-1``
+    -> inverse lattice warp (small-displacement approximation
+    ``D^-1(x) ~= x - disp(x)``) -> camera via ``local_poses[k]^-1`` ->
+    project into ``depths[k]``.  ``displacement``: (K, M, 3) — the lattice of
+    the fragment owning each frame (gather before calling for SLAC vs
+    nonrigid).  ``lat``: static :class:`..elastic.lattice.Lattice`.
+    """
+    from ..core import se3
+    from ..elastic.lattice import deform
+
+    def warp(p_world, Tf_inv, Ll_inv, disp):
+        local = p_world @ Tf_inv[:3, :3].T + Tf_inv[:3, 3]
+        shp = local.shape
+        flat = local.reshape(-1, 3)
+        corrected = (2.0 * flat - deform(lat, disp, flat)).reshape(shp)
+        return corrected @ Ll_inv[:3, :3].T + Ll_inv[:3, 3]
+
+    def step(v, inp):
+        depth, Tf, Lk, disp = inp
+        Tf_inv = se3.inverse(Tf)
+        Ll_inv = se3.inverse(Lk)
+        p_world = _tsdf.voxel_centers(v)
+        p_cam = warp(p_world, Tf_inv, Ll_inv, disp)
+        uv, in_img = cam.project(p_cam, intr)
+        u = jnp.clip(jnp.round(uv[..., 0]), 0, intr.width - 1).astype(jnp.int32)
+        vv = jnp.clip(jnp.round(uv[..., 1]), 0, intr.height - 1).astype(jnp.int32)
+        d = depth[vv, u]
+        sdf = d - p_cam[..., 2]
+        valid = (
+            in_img
+            & (d >= cfg.depth_min)
+            & (d <= cfg.depth_max)
+            & (sdf >= -v.truncation)
+        )
+        tsdf_obs = jnp.clip(sdf / v.truncation, -1.0, 1.0)
+        w_new = v.weight + valid.astype(jnp.float32)
+        tsdf_new = jnp.where(
+            valid, (v.tsdf * v.weight + tsdf_obs) / jnp.maximum(w_new, 1.0), v.tsdf
+        )
+        return v._replace(tsdf=tsdf_new, weight=jnp.minimum(w_new, cfg.max_weight)), None
+
+    vol, _ = jax.lax.scan(step, vol, (depths, frag_poses, local_poses, displacement))
+    return vol
+
+
 def compose_frame_poses(fragment_poses, local_poses_per_fragment) -> jax.Array:
     """World pose per frame: ``T_frag[k] @ T_local[k][f]`` flattened in order.
 

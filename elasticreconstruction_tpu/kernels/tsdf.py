@@ -103,6 +103,43 @@ def fuse(
     return vol._replace(tsdf=tsdf_new, weight=jnp.minimum(w_new, max_weight))
 
 
+@partial(jax.jit, static_argnames=("intr", "warp"))
+def fuse_warped(
+    vol: TSDFVolume,
+    depth: jax.Array,
+    pose: jax.Array,
+    intr: cam.Intrinsics,
+    *,
+    warp,
+    max_weight: float = 64.0,
+    depth_min: float = 0.1,
+    depth_max: float = 6.0,
+) -> TSDFVolume:
+    """:func:`fuse` with a world->camera warp hook.
+
+    ``warp(p_world (..., 3), pose) -> p_cam`` replaces the rigid transform —
+    the Integrate stage uses this to apply the (inverse, small-displacement
+    approximated) SLAC lattice correction (reference Integrate/main.cpp
+    undistorts depth through ctr.txt — SURVEY.md §3.5).
+    """
+    p_world = voxel_centers(vol)
+    p_cam = warp(p_world, pose)
+    uv, in_img = cam.project(p_cam, intr)
+    u = jnp.clip(jnp.round(uv[..., 0]), 0, intr.width - 1).astype(jnp.int32)
+    v = jnp.clip(jnp.round(uv[..., 1]), 0, intr.height - 1).astype(jnp.int32)
+    d = depth[v, u]
+    sdf = d - p_cam[..., 2]
+    valid = in_img & (d >= depth_min) & (d <= depth_max) & (sdf >= -vol.truncation)
+    tsdf_obs = jnp.clip(sdf / vol.truncation, -1.0, 1.0)
+    w_old = vol.weight
+    w_obs = valid.astype(jnp.float32)
+    w_new = w_old + w_obs
+    tsdf_new = jnp.where(
+        valid, (vol.tsdf * w_old + tsdf_obs) / jnp.maximum(w_new, 1.0), vol.tsdf
+    )
+    return vol._replace(tsdf=tsdf_new, weight=jnp.minimum(w_new, max_weight))
+
+
 def sample_trilinear(vol: TSDFVolume, points: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Trilinear TSDF at world ``points (..., 3)`` -> (value, valid).
 

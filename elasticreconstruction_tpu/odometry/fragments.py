@@ -78,8 +78,12 @@ def build_fragment(
     )
 
     def step(carry, depth):
-        vol, T_prev = carry
-        tr = track_frame(vol, depth, T_prev, intr, cfg.odometry)
+        vol, T_prev, T_prev2 = carry
+        # Constant-velocity prediction: seed tracking at T_prev extrapolated
+        # by the last inter-frame motion (KinFu seeds at T_prev; the
+        # prediction roughly doubles the tolerable per-frame motion).
+        T_pred = T_prev @ (se3.inverse(T_prev2) @ T_prev)
+        tr = track_frame(vol, depth, T_pred, intr, cfg.odometry)
         vol = _tsdf.fuse(
             vol,
             depth,
@@ -89,9 +93,11 @@ def build_fragment(
             depth_min=cfg.depth_min,
             depth_max=cfg.depth_max,
         )
-        return (vol, tr.pose), (tr.pose, tr.fitness, tr.rmse)
+        return (vol, tr.pose, T_prev), (tr.pose, tr.fitness, tr.rmse)
 
-    (vol, _), (poses, fit, rmse) = jax.lax.scan(step, (vol, se3.identity()), depths[1:])
+    (vol, _, _), (poses, fit, rmse) = jax.lax.scan(
+        step, (vol, se3.identity(), se3.identity()), depths[1:]
+    )
     all_poses = jnp.concatenate([se3.identity((1,)), poses], axis=0)
     all_fit = jnp.concatenate([jnp.ones((1,), jnp.float32), fit])
     all_rmse = jnp.concatenate([jnp.zeros((1,), jnp.float32), rmse])

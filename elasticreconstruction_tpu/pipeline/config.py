@@ -1,0 +1,63 @@
+"""One typed configuration for the whole pipeline.
+
+The reference scatters constants across five executables' Boost
+program_options flags (SURVEY.md §5 "Config / flag system"); here every
+stage constant lives in one place, with the reference defaults (k=50
+frames/fragment, 5 cm matching voxel, lattice resolution 8 / length 3.0)
+captured as the stage-config defaults.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from ..elastic.slac import SlacConfig, SlacMode
+from ..odometry.fragments import FragmentConfig
+from ..posegraph.robust_pgo import PGOConfig
+from ..registration.pair import RegistrationConfig
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    data_dir: str = "data"
+    out_dir: str = "out"
+    frames_per_fragment: int = 50
+    fragment: FragmentConfig = field(default_factory=FragmentConfig)
+    registration: RegistrationConfig = field(default_factory=RegistrationConfig)
+    posegraph: PGOConfig = field(default_factory=PGOConfig)
+    slac: SlacConfig = field(default_factory=SlacConfig)
+    slac_mode: str = "slac"  # rigid | slac | nonrigid | none
+    corres_max_distance: float = 0.03
+    corres_capacity_per_edge: int = 4096
+    # Integration
+    scene_voxel_size: float = 0.015
+    scene_max_shape: tuple[int, int, int] = (448, 256, 448)
+    mesh_capacity_per_slab: int = 1 << 15
+    # Registration batching
+    registration_batch: int = 8
+    seed: int = 0
+
+    # Derived paths
+    def p_fragments(self) -> Path:
+        return Path(self.out_dir) / "fragments"
+
+    def p_registration(self) -> Path:
+        return Path(self.out_dir) / "registration"
+
+    def p_posegraph(self) -> Path:
+        return Path(self.out_dir) / "posegraph"
+
+    def p_slac(self) -> Path:
+        return Path(self.out_dir) / "slac"
+
+    def p_integrate(self) -> Path:
+        return Path(self.out_dir) / "integrate"
+
+    def slac_config(self) -> SlacConfig:
+        mode = {
+            "rigid": SlacMode.RIGID,
+            "slac": SlacMode.SLAC,
+            "nonrigid": SlacMode.NONRIGID,
+        }[self.slac_mode]
+        return self.slac._replace(mode=mode)

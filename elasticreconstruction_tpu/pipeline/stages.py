@@ -1,0 +1,480 @@
+"""Stage drivers: the five reference executables as resumable functions.
+
+Artifact layout mirrors the reference contracts (SURVEY.md §0/§5) so every
+stage is re-runnable from files:
+
+    out/fragments/cloud_bin_<f>.pcd      fragment clouds (local frame)
+    out/fragments/local_<f>.log          per-frame camera-to-fragment poses
+    out/fragments/fragments.log          chained fragment base poses
+    out/registration/odometry.log/.info  consecutive-fragment edges
+    out/registration/loop.log/.info      accepted loop-closure candidates
+    out/posegraph/pose.log               optimized fragment poses
+    out/posegraph/kept_edges.txt         loop edges surviving the line process
+    out/corres/corres_<i>_<j>.txt        dense correspondences (optional spill)
+    out/slac/ctr[_<f>].txt               optimized control lattice(s)
+    out/slac/pose_slac.log               refined fragment poses
+    out/integrate/mesh.ply               final mesh
+    out/integrate/trajectory.log         final per-frame trajectory
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import io_logfmt, se3
+from ..core.types import PointCloud
+from ..elastic import build_correspondences, optimize_fragments
+from ..elastic.correspondence import CorresSet
+from ..elastic.slac import SlacMode
+from ..eval import ate as ate_mod
+from ..integrate import extract_mesh, mesh as mesh_mod
+from ..integrate.scene import SceneConfig, integrate_frames, integrate_frames_slac
+from ..kernels import tsdf as tsdf_mod
+from ..odometry import build_fragment
+from ..posegraph import EdgeList, optimize_pose_graph
+from ..registration import register_pairs_batch
+from ..registration.infomat import information_matrix
+from ..elastic.correspondence import correspondences_for_edge
+from .config import PipelineConfig
+from .dataset import Dataset
+
+
+def _log(stage: str, msg: str, **kv) -> None:
+    rec = {"stage": stage, "msg": msg, "t": round(time.time(), 3), **kv}
+    print(json.dumps(rec), flush=True)
+
+
+# ---------------------------------------------------------------- fragments
+
+
+def run_fragments(ds: Dataset, cfg: PipelineConfig) -> None:
+    out = cfg.p_fragments()
+    out.mkdir(parents=True, exist_ok=True)
+    K = cfg.frames_per_fragment
+    nf = max(1, (len(ds) - 1) // K)
+    intr = ds.intrinsics
+    base = np.eye(4, dtype=np.float32)
+    bases = []
+    t0 = time.time()
+    for f in range(nf):
+        frames = ds.depth_chunk(f * K, K + 1)
+        if frames.shape[0] < K + 1:  # pad final fragment (zero depth = no-op)
+            pad = np.zeros((K + 1 - frames.shape[0],) + frames.shape[1:], np.float32)
+            frames = np.concatenate([frames, pad])
+        res = build_fragment(jnp.asarray(frames), intr, cfg.fragment)
+        cloud = res.cloud
+        m = np.array(cloud.mask)
+        io_logfmt.write_pcd(
+            out / f"cloud_bin_{f}.pcd",
+            np.array(cloud.points)[m],
+            np.array(cloud.normals)[m],
+        )
+        local = np.array(res.local_poses)
+        io_logfmt.write_log(out / f"local_{f}.log", io_logfmt.Trajectory.from_matrices(local))
+        bases.append(base.copy())
+        base = base @ local[K]  # overlap frame chains the next fragment
+        _log(
+            "fragments",
+            "fragment built",
+            fragment=f,
+            points=int(m.sum()),
+            min_fitness=float(np.array(res.fitness)[1:].min()) if K > 0 else 1.0,
+        )
+    io_logfmt.write_log(out / "fragments.log", io_logfmt.Trajectory.from_matrices(np.stack(bases)))
+    _log("fragments", "done", num_fragments=nf, seconds=round(time.time() - t0, 2))
+
+
+def load_fragment_clouds(cfg: PipelineConfig) -> list[PointCloud]:
+    out = cfg.p_fragments()
+    clouds = []
+    cap = cfg.fragment.cloud_capacity
+    f = 0
+    while (out / f"cloud_bin_{f}.pcd").exists():
+        pts, nrm = io_logfmt.read_pcd(out / f"cloud_bin_{f}.pcd")
+        n = min(len(pts), cap)
+        cloud = PointCloud.from_points(pts[:n], None if nrm is None else nrm[:n]).pad_to(cap)
+        clouds.append(cloud)
+        f += 1
+    return clouds
+
+
+# ------------------------------------------------------------- registration
+
+
+def run_registration(cfg: PipelineConfig) -> None:
+    out = cfg.p_registration()
+    out.mkdir(parents=True, exist_ok=True)
+    clouds = load_fragment_clouds(cfg)
+    nf = len(clouds)
+    bases = io_logfmt.read_log(cfg.p_fragments() / "fragments.log").matrices().astype(np.float32)
+    t0 = time.time()
+
+    # Odometry edges: the chained base poses give the init, but raw odometry
+    # carries the within-fragment drift — refine each consecutive pair with
+    # point-to-plane ICP so the edge measurement reaches registration
+    # accuracy (the reference re-refines every edge in BuildCorrespondence —
+    # SURVEY.md §3.4); info matrix from the refined overlap.
+    from ..kernels import normals as _normals
+    from ..kernels import voxel_grid as _voxel
+    from ..registration.icp import icp_point_to_plane
+
+    odo_T, odo_info = [], []
+    rcfg = cfg.registration
+    for f in range(nf - 1):
+        That0 = np.linalg.inv(bases[f]) @ bases[f + 1]
+        fine_i = _normals.estimate_normals(
+            _voxel.voxel_downsample(clouds[f], rcfg.icp_voxel_size, rcfg.fine_capacity),
+            k=rcfg.normal_k,
+        )
+        fine_j = _voxel.voxel_downsample(clouds[f + 1], rcfg.icp_voxel_size, rcfg.fine_capacity)
+        ir = icp_point_to_plane(
+            fine_j,
+            fine_i,
+            jnp.asarray(That0),
+            max_correspondence_distance=rcfg.inlier_threshold * 2,
+            iterations=rcfg.icp_iterations,
+        )
+        # Trust region: odometry is locally reliable; reject refinements that
+        # slide far from the init (planar overlaps are point-to-plane
+        # degenerate and can drift unboundedly) or that matched poorly.
+        delta = np.array(se3.log(ir.transform @ jnp.linalg.inv(jnp.asarray(That0, dtype=jnp.float32))))
+        trust_ok = (
+            np.linalg.norm(delta[:3]) < 0.25
+            and np.linalg.norm(delta[3:]) < 0.25
+            and float(ir.fitness) > 0.2
+        )
+        That = np.array(ir.transform, np.float64) if trust_ok else That0.astype(np.float64)
+        p, q, m = correspondences_for_edge(
+            clouds[f],
+            clouds[f + 1],
+            jnp.eye(4),
+            jnp.asarray(That, dtype=jnp.float32),
+            max_distance=cfg.corres_max_distance * 2,
+            capacity=cfg.corres_capacity_per_edge,
+        )
+        info = information_matrix(p, m)
+        odo_T.append(That)
+        odo_info.append(np.array(info, np.float64))
+    io_logfmt.write_log(
+        out / "odometry.log",
+        io_logfmt.Trajectory(
+            [io_logfmt.TrajectoryEntry(f, f + 1, nf, odo_T[f]) for f in range(nf - 1)]
+        ),
+    )
+    io_logfmt.write_info(
+        out / "odometry.info",
+        io_logfmt.InfoFile(
+            [io_logfmt.InfoEntry(f, f + 1, nf, odo_info[f]) for f in range(nf - 1)]
+        ),
+    )
+
+    # Loop candidates: all non-adjacent pairs, batched through the jitted
+    # vmapped registrar (the reference farmed these across a cluster —
+    # SURVEY.md §3.2; dist.pair_sharding shards the same batches over chips).
+    pairs = [(i, j) for i in range(nf) for j in range(i + 2, nf)]
+    results = []
+    B = cfg.registration_batch
+    key = jax.random.PRNGKey(cfg.seed)
+    for s in range(0, len(pairs), B):
+        chunk = pairs[s : s + B]
+        pad = B - len(chunk)
+        chunk_p = chunk + [chunk[-1]] * pad
+        ci = jax.tree.map(lambda *xs: jnp.stack(xs), *[clouds[i] for i, _ in chunk_p])
+        cj = jax.tree.map(lambda *xs: jnp.stack(xs), *[clouds[j] for _, j in chunk_p])
+        keys = jax.random.split(jax.random.fold_in(key, s), B)
+        res = register_pairs_batch(
+            ci,
+            cj,
+            keys,
+            cfg.registration,
+            (
+                jnp.array([i for i, _ in chunk_p], jnp.int32),
+                jnp.array([j for _, j in chunk_p], jnp.int32),
+            ),
+        )
+        for b in range(len(chunk)):
+            results.append(jax.tree.map(lambda x: np.array(x[b]), res))
+        _log("registration", "batch", done=min(s + B, len(pairs)), total=len(pairs))
+
+    accepted = [r for r in results if bool(r.success)]
+    io_logfmt.write_log(
+        out / "loop.log",
+        io_logfmt.Trajectory(
+            [
+                io_logfmt.TrajectoryEntry(int(r.i), int(r.j), nf, r.transform.astype(np.float64))
+                for r in accepted
+            ]
+        ),
+    )
+    io_logfmt.write_info(
+        out / "loop.info",
+        io_logfmt.InfoFile(
+            [
+                io_logfmt.InfoEntry(int(r.i), int(r.j), nf, r.information.astype(np.float64))
+                for r in accepted
+            ]
+        ),
+    )
+    _log(
+        "registration",
+        "done",
+        pairs=len(pairs),
+        accepted=len(accepted),
+        seconds=round(time.time() - t0, 2),
+        pairs_per_second=round(len(pairs) / max(time.time() - t0, 1e-9), 3),
+    )
+
+
+# ----------------------------------------------------------------- posegraph
+
+
+def run_posegraph(cfg: PipelineConfig) -> None:
+    out = cfg.p_posegraph()
+    out.mkdir(parents=True, exist_ok=True)
+    reg = cfg.p_registration()
+    bases = io_logfmt.read_log(cfg.p_fragments() / "fragments.log").matrices().astype(np.float32)
+    odo = io_logfmt.read_log(reg / "odometry.log")
+    odo_info = io_logfmt.read_info(reg / "odometry.info")
+    loop = io_logfmt.read_log(reg / "loop.log")
+    loop_info = io_logfmt.read_info(reg / "loop.info")
+
+    ii = [e.i for e in odo.entries] + [e.i for e in loop.entries]
+    jj = [e.j for e in odo.entries] + [e.j for e in loop.entries]
+    Ts = [e.transform for e in odo.entries] + [e.transform for e in loop.entries]
+    infos = [e.info for e in odo_info.entries] + [e.info for e in loop_info.entries]
+    is_odo = [True] * len(odo.entries) + [False] * len(loop.entries)
+    edges = EdgeList.build(
+        np.array(ii),
+        np.array(jj),
+        np.stack(Ts).astype(np.float32),
+        np.stack(infos).astype(np.float32),
+        np.array(is_odo),
+    )
+    t0 = time.time()
+    res = optimize_pose_graph(jnp.asarray(bases), edges, cfg.posegraph)
+    poses = np.array(res.poses, np.float64)
+    io_logfmt.write_log(out / "pose.log", io_logfmt.Trajectory.from_matrices(poses))
+    kept = np.array(res.kept)
+    with open(out / "kept_edges.txt", "w") as f:
+        for k in range(len(ii)):
+            if kept[k] and not is_odo[k]:
+                f.write(f"{ii[k]} {jj[k]}\n")
+    _log(
+        "posegraph",
+        "done",
+        edges=len(ii),
+        loops=len(loop.entries),
+        loops_kept=int(kept[len(odo.entries) :].sum()),
+        seconds=round(time.time() - t0, 2),
+    )
+
+
+# ------------------------------------------------------- fragment optimizer
+
+
+def run_optimize(cfg: PipelineConfig, *, spill_corres: bool = False) -> None:
+    out = cfg.p_slac()
+    out.mkdir(parents=True, exist_ok=True)
+    clouds = load_fragment_clouds(cfg)
+    poses = io_logfmt.read_log(cfg.p_posegraph() / "pose.log").matrices().astype(np.float32)
+    edge_pairs = [(0 + f, f + 1) for f in range(len(clouds) - 1)]
+    kept_path = cfg.p_posegraph() / "kept_edges.txt"
+    if kept_path.exists():
+        with open(kept_path) as f:
+            for line in f:
+                i, j = map(int, line.split())
+                edge_pairs.append((i, j))
+    t0 = time.time()
+    corres = build_correspondences(
+        clouds,
+        jnp.asarray(poses),
+        edge_pairs,
+        max_distance=cfg.corres_max_distance,
+        capacity_per_edge=cfg.corres_capacity_per_edge,
+    )
+    if spill_corres:
+        cdir = Path(cfg.out_dir) / "corres"
+        cdir.mkdir(parents=True, exist_ok=True)
+        cap = cfg.corres_capacity_per_edge
+        for e, (i, j) in enumerate(edge_pairs):
+            m = np.array(corres.mask[e * cap : (e + 1) * cap])
+            # Spill as point pairs (the array-native analog of index pairs).
+            pq = np.concatenate(
+                [
+                    np.array(corres.p[e * cap : (e + 1) * cap])[m],
+                    np.array(corres.q[e * cap : (e + 1) * cap])[m],
+                ],
+                axis=1,
+            )
+            np.savetxt(cdir / f"corres_{i}_{j}.txt", pq, fmt="%.6f")
+    _log("optimize", "correspondences", count=int(np.array(corres.count())), edges=len(edge_pairs))
+
+    if cfg.slac_mode == "none":
+        io_logfmt.write_log(out / "pose_slac.log", io_logfmt.Trajectory.from_matrices(poses))
+        _log("optimize", "skipped (mode=none)")
+        return
+    scfg = cfg.slac_config()
+    res = optimize_fragments(jnp.asarray(poses), corres, scfg, num_fragments=len(clouds))
+    io_logfmt.write_log(
+        out / "pose_slac.log",
+        io_logfmt.Trajectory.from_matrices(np.array(res.poses, np.float64)),
+    )
+    rest = np.array(res.lattice.rest_positions())
+    disp = np.array(res.displacement)
+    if scfg.mode is SlacMode.NONRIGID:
+        for f in range(disp.shape[0]):
+            io_logfmt.write_ctr(out / f"ctr_{f}.txt", rest + disp[f], scfg.resolution, scfg.length)
+    else:
+        io_logfmt.write_ctr(out / "ctr.txt", rest + disp[0], scfg.resolution, scfg.length)
+    _log(
+        "optimize",
+        "done",
+        mode=cfg.slac_mode,
+        rmse_before=float(res.data_rmse[0]),
+        rmse_after=float(res.final_rmse),
+        seconds=round(time.time() - t0, 2),
+    )
+
+
+# ------------------------------------------------------------------ integrate
+
+
+def _frame_world_poses(cfg: PipelineConfig):
+    """(frame poses (T,4,4), fragment index per frame, local poses (T,4,4))."""
+    frag_dir = cfg.p_fragments()
+    pose_path = cfg.p_slac() / "pose_slac.log"
+    if not pose_path.exists():
+        pose_path = cfg.p_posegraph() / "pose.log"
+    if not pose_path.exists():
+        pose_path = frag_dir / "fragments.log"
+    bases = io_logfmt.read_log(pose_path).matrices().astype(np.float32)
+    K = cfg.frames_per_fragment
+    frames, fidx, locals_ = [], [], []
+    for f in range(len(bases)):
+        local = io_logfmt.read_log(frag_dir / f"local_{f}.log").matrices().astype(np.float32)
+        for k in range(K):  # overlap frame belongs to the next fragment
+            frames.append(bases[f] @ local[k])
+            fidx.append(f)
+            locals_.append(local[k])
+    return np.stack(frames), np.array(fidx), np.stack(locals_), bases
+
+
+def run_integrate(ds: Dataset, cfg: PipelineConfig) -> None:
+    out = cfg.p_integrate()
+    out.mkdir(parents=True, exist_ok=True)
+    frame_poses, fidx, local_poses, bases = _frame_world_poses(cfg)
+    n = min(len(ds), len(frame_poses))
+    intr = ds.intrinsics
+
+    # Volume bounds from the posed fragment clouds.
+    clouds = load_fragment_clouds(cfg)
+    lo = np.full(3, np.inf)
+    hi = np.full(3, -np.inf)
+    for f, c in enumerate(clouds):
+        m = np.array(c.mask)
+        if not m.any():
+            continue
+        w = np.array(se3.apply(jnp.asarray(bases[f]), c.points))[m]
+        lo = np.minimum(lo, w.min(0))
+        hi = np.maximum(hi, w.max(0))
+    margin = 4 * cfg.scene_voxel_size
+    lo -= margin
+    hi += margin
+    shape = tuple(
+        int(min(cfg.scene_max_shape[a], np.ceil((hi[a] - lo[a]) / cfg.scene_voxel_size) + 1))
+        for a in range(3)
+    )
+    scfg = SceneConfig(volume_shape=shape, voxel_size=cfg.scene_voxel_size, origin=tuple(lo))
+    vol = tsdf_mod.make_volume(shape, cfg.scene_voxel_size, tuple(lo))
+    _log("integrate", "volume", shape=list(shape), origin=[round(v, 3) for v in lo])
+
+    # Lattice correction if the optimizer produced one.
+    slac_dir = cfg.p_slac()
+    use_lattice = cfg.slac_mode in ("slac", "nonrigid") and (
+        (slac_dir / "ctr.txt").exists() or (slac_dir / "ctr_0.txt").exists()
+    )
+    disp_per_frag = None
+    lat = None
+    if use_lattice:
+        from ..elastic.lattice import Lattice
+
+        scfg_s = cfg.slac_config()
+        lat = Lattice(scfg_s.resolution, scfg_s.length, scfg_s.origin)
+        rest = np.array(lat.rest_positions())
+        if (slac_dir / "ctr.txt").exists():
+            pos, _, _ = io_logfmt.read_ctr(slac_dir / "ctr.txt")
+            disp_per_frag = np.tile((pos - rest)[None], (len(bases), 1, 1)).astype(np.float32)
+        else:
+            ds_ = []
+            for f in range(len(bases)):
+                pos, _, _ = io_logfmt.read_ctr(slac_dir / f"ctr_{f}.txt")
+                ds_.append(pos - rest)
+            disp_per_frag = np.stack(ds_).astype(np.float32)
+
+    t0 = time.time()
+    chunk = 16
+    for s in range(0, n, chunk):
+        depths = jnp.asarray(ds.depth_chunk(s, min(chunk, n - s)))
+        c = depths.shape[0]
+        if use_lattice:
+            vol = integrate_frames_slac(
+                vol,
+                depths,
+                jnp.asarray(np.stack([bases[fidx[s + k]] for k in range(c)])),
+                jnp.asarray(local_poses[s : s + c]),
+                jnp.asarray(np.stack([disp_per_frag[fidx[s + k]] for k in range(c)])),
+                lat,
+                intr,
+                scfg,
+            )
+        else:
+            vol = integrate_frames(vol, depths, jnp.asarray(frame_poses[s : s + c]), intr, scfg)
+    jax.block_until_ready(vol.tsdf)
+    fps = n / max(time.time() - t0, 1e-9)
+    _log("integrate", "fused", frames=n, frames_per_second=round(fps, 2))
+
+    tris, mask = extract_mesh(vol, capacity_per_slab=cfg.mesh_capacity_per_slab)
+    v, f = mesh_mod.weld_mesh(tris, mask)
+    io_logfmt.write_ply_mesh(out / "mesh.ply", v, f)
+    io_logfmt.write_log(
+        out / "trajectory.log",
+        io_logfmt.Trajectory.from_matrices(frame_poses[:n].astype(np.float64)),
+    )
+    _log("integrate", "done", vertices=len(v), faces=len(f))
+
+
+# ------------------------------------------------------------------ evaluate
+
+
+def run_evaluate(ds: Dataset, cfg: PipelineConfig) -> dict:
+    traj_path = cfg.p_integrate() / "trajectory.log"
+    est = io_logfmt.read_log(traj_path).matrices().astype(np.float32)
+    assert ds.gt_poses is not None, "dataset has no gt.log"
+    n = min(len(est), len(ds.gt_poses))
+    res = ate_mod.absolute_trajectory_error(jnp.asarray(est[:n]), jnp.asarray(ds.gt_poses[:n]))
+    metrics = {
+        "ate_rmse": float(res.rmse),
+        "ate_mean": float(res.mean),
+        "ate_median": float(res.median),
+        "ate_max": float(res.max),
+        "frames": n,
+    }
+    with open(cfg.p_integrate() / "ate.json", "w") as f:
+        json.dump(metrics, f, indent=2)
+    _log("evaluate", "done", **metrics)
+    return metrics
+
+
+def run_all(ds: Dataset, cfg: PipelineConfig) -> dict:
+    run_fragments(ds, cfg)
+    run_registration(cfg)
+    run_posegraph(cfg)
+    run_optimize(cfg)
+    run_integrate(ds, cfg)
+    return run_evaluate(ds, cfg) if ds.gt_poses is not None else {}

@@ -9,7 +9,7 @@ of the reference's cluster-distributed independent registration jobs).
 """
 
 from . import features, icp, infomat, pair, ransac
-from .pair import RegistrationConfig, register_pair
+from .pair import RegistrationConfig, register_pair, register_pairs_batch
 
 __all__ = [
     "features",
@@ -19,4 +19,5 @@ __all__ = [
     "ransac",
     "RegistrationConfig",
     "register_pair",
+    "register_pairs_batch",
 ]

@@ -123,3 +123,25 @@ def register_pair(
         fitness=ir.fitness,
         success=success,
     )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def register_pairs_batch(
+    clouds_i: PointCloud,
+    clouds_j: PointCloud,
+    keys: jax.Array,
+    config: RegistrationConfig = RegistrationConfig(),
+    pair_indices: tuple[jax.Array, jax.Array] | None = None,
+) -> RegistrationResult:
+    """vmap of :func:`register_pair` over a leading batch axis.
+
+    ``clouds_i``/``clouds_j`` carry stacked ``(B, N, 3)`` arrays; ``keys`` is
+    ``(B, 2)`` PRNG keys.  One XLA computation registers the whole batch —
+    this is the unit the device mesh shards over (dist.pair_sharding).
+    """
+    if pair_indices is None:
+        b = keys.shape[0]
+        pair_indices = (jnp.zeros(b, jnp.int32), jnp.ones(b, jnp.int32))
+    return jax.vmap(
+        lambda ci, cj, k, pi, pj: register_pair(ci, cj, k, config, (pi, pj))
+    )(clouds_i, clouds_j, keys, *pair_indices)

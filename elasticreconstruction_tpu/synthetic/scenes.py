@@ -103,6 +103,34 @@ def orbit_trajectory(
     return np.stack(poses).astype(np.float32)
 
 
+def pendulum_trajectory(
+    num_frames: int,
+    *,
+    radius: float = 1.2,
+    height: float = 1.3,
+    amplitude: float = 0.8,
+    start_angle: float = 0.0,
+    look_radius: float = 10.0,
+    bob: float = 0.05,
+    center=(0.0, 0.0, 0.0),
+) -> np.ndarray:
+    """There-and-back sweep: revisits its start => loop-closure opportunity
+    with bounded per-frame motion (a compressed stand-in for the multi-pass
+    ICL-NUIM trajectories)."""
+    cx, _, cz = center
+    poses = []
+    for k in range(num_frames):
+        a = start_angle + amplitude * np.sin(np.pi * k / max(num_frames - 1, 1))
+        eye = (
+            cx + radius * np.cos(a),
+            height + bob * np.sin(2.3 * a),
+            cz + radius * np.sin(a),
+        )
+        target = (cx + look_radius * np.cos(a), height * 0.7, cz + look_radius * np.sin(a))
+        poses.append(look_at_pose(eye, target))
+    return np.stack(poses).astype(np.float32)
+
+
 def perturbed_poses(poses: np.ndarray, trans_sigma: float, rot_sigma: float, seed: int = 0) -> np.ndarray:
     """Gaussian SE(3) noise on a trajectory (for eval/unit tests)."""
     rng = np.random.default_rng(seed)
