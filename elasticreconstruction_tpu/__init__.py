@@ -29,3 +29,14 @@ Subpackage map (reference component in parens):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry pipelines are not neural nets: on TPU the DEFAULT matmul precision
+# truncates inputs to bfloat16, which injects ~1e-2 absolute error into the
+# |q|^2+|p|^2-2qp distance matrices (measured: radius-neighbor sets lose
+# rotation invariance, ~5% of boundary pairs flip) and into every se3
+# point-transform.  All matmuls here have tiny contraction dims (K = 3..33),
+# so full-f32 MXU passes cost nothing measurable; set it once, package-wide.
+# Callers that want bf16 for a specific op can pass precision= explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core import se3
 from ..elastic.correspondence import CorresSet
@@ -87,7 +87,7 @@ def optimize_fragments_sharded(
     )
 
     @jax.jit  # one compiled executable across the outer GN iterations
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(), check_rep=False)
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis)), out_specs=P(), check_vma=False)
     def gn_step(state: SlacState, corres_shard: CorresSet):
         prob = _precompute(lat, corres_shard, cfg.mode, nf)
         J, Jt_local, diag_local, residuals, _ = _make_operators(

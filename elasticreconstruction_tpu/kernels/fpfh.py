@@ -60,6 +60,84 @@ def _normalize_blocks(h):
     return blocks.reshape(h.shape)
 
 
+@partial(jax.jit, static_argnames=("block_size",), static_argnums=(1,))
+def fpfh_radius(
+    cloud: PointCloud,
+    radius: float,
+    *,
+    block_size: int = 256,
+) -> jax.Array:
+    """33-D FPFH from ALL neighbors within ``radius`` — the PCL-faithful and
+    TPU speed-of-light variant.
+
+    Replaces the fixed-k top-k select (slow sort on TPU) with blocked
+    all-pairs passes: pass 1 accumulates each point's SPFH histogram by
+    summing bin indicators over in-radius pairs (VPU compare+reduce, weight
+    rows never hit HBM whole); pass 2 mixes neighbor SPFHs with the
+    inverse-distance weights as one blocked ``(B, N) @ (N, 33)`` MXU matmul.
+    Matches PCL ``FPFHEstimationOMP`` radius-search semantics
+    (GlobalRegistration/main.cpp — SURVEY.md §3.2).
+    """
+    pts, nrm, mask = cloud.points, cloud.normals, cloud.mask
+    n = pts.shape[0]
+    valid_ref = mask & (jnp.sum(nrm * nrm, axis=-1) > 0.25)  # unit normals only
+    inf_row = jnp.where(valid_ref, 0.0, jnp.inf)
+    r2 = jnp.float32(radius * radius)
+    p2 = jnp.sum(pts * pts, axis=1)
+
+    pad = (-n) % block_size
+    qp = jnp.pad(pts, ((0, pad), (0, 0))).reshape(-1, block_size, 3)
+    qn = jnp.pad(nrm, ((0, pad), (0, 0))).reshape(-1, block_size, 3)
+    # Global row ids: the self pair is excluded BY INDEX — a distance test is
+    # not rotation-stable (f32 noise in |q|^2+|p|^2-2qp exceeds any epsilon).
+    ids = jnp.arange(n, dtype=jnp.int32)
+    qi = jnp.pad(ids, (0, pad), constant_values=-1).reshape(-1, block_size)
+
+    def spfh_block(args):
+        qb, nb, qib = args  # (B, 3), (B, 3), (B,)
+        q2 = jnp.sum(qb * qb, axis=1, keepdims=True)
+        cross = jnp.dot(qb, pts.T, preferred_element_type=jnp.float32)
+        d2 = jnp.maximum(q2 + p2[None, :] - 2.0 * cross, 0.0)  # (B, N)
+        w = ((d2 + inf_row[None, :]) <= r2) & (qib[:, None] != ids[None, :])
+        wf = w.astype(jnp.float32)
+        alpha, phi, theta = _pair_features(
+            qb[:, None, :], nb[:, None, :], pts[None, :, :], nrm[None, :, :]
+        )
+        hists = []
+        for val, lo, hi in ((alpha, -1.0, 1.0), (phi, -1.0, 1.0), (theta, -jnp.pi, jnp.pi)):
+            b = jnp.clip(
+                (val - lo) / (hi - lo) * N_BINS, 0, N_BINS - 1e-4
+            ).astype(jnp.int32)
+            hists.append(
+                jnp.stack(
+                    [jnp.sum(wf * (b == i), axis=1) for i in range(N_BINS)], axis=1
+                )
+            )
+        return jnp.concatenate(hists, axis=1)  # (B, 33)
+
+    hist = jax.lax.map(spfh_block, (qp, qn, qi)).reshape(-1, FEATURE_DIM)[:n]
+    spfh = _normalize_blocks(hist)
+
+    # FPFH(p) = SPFH(p) + (1/k_p) sum_{j in radius} SPFH(q_j) / dist_j —
+    # one blocked MXU matmul with the inverse-distance weight rows.
+    def mix_block(args):
+        qb, qib = args
+        q2 = jnp.sum(qb * qb, axis=1, keepdims=True)
+        cross = jnp.dot(qb, pts.T, preferred_element_type=jnp.float32)
+        d2 = jnp.maximum(q2 + p2[None, :] - 2.0 * cross, 0.0)
+        w = ((d2 + inf_row[None, :]) <= r2) & (qib[:, None] != ids[None, :])
+        inv_w = jnp.where(w, jax.lax.rsqrt(jnp.maximum(d2, 1e-12)), 0.0)
+        mixedb = jnp.dot(inv_w, spfh, preferred_element_type=jnp.float32)
+        cnt = jnp.sum(w.astype(jnp.float32), axis=1)
+        return mixedb, cnt
+
+    mixed, cnt = jax.lax.map(mix_block, (qp, qi))
+    mixed = mixed.reshape(-1, FEATURE_DIM)[:n]
+    cnt = cnt.reshape(-1)[:n]
+    out = _normalize_blocks(spfh + mixed / jnp.maximum(cnt, 1.0)[:, None])
+    return jnp.where((mask & valid_ref)[:, None], out, 0.0)
+
+
 @partial(jax.jit, static_argnames=("k",), static_argnums=(1,))
 def fpfh(
     cloud: PointCloud,

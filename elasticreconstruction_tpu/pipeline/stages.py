@@ -128,9 +128,9 @@ def run_registration(cfg: PipelineConfig) -> None:
     rcfg = cfg.registration
     for f in range(nf - 1):
         That0 = np.linalg.inv(bases[f]) @ bases[f + 1]
-        fine_i = _normals.estimate_normals(
+        fine_i = _normals.estimate_normals_radius(
             _voxel.voxel_downsample(clouds[f], rcfg.icp_voxel_size, rcfg.fine_capacity),
-            k=rcfg.normal_k,
+            rcfg.icp_voxel_size * rcfg.normal_radius_factor,
         )
         fine_j = _voxel.voxel_downsample(clouds[f + 1], rcfg.icp_voxel_size, rcfg.fine_capacity)
         ir = icp_point_to_plane(

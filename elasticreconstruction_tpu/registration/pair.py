@@ -41,8 +41,8 @@ class RegistrationConfig(NamedTuple):
     icp_voxel_size: float = 0.025  # fine voxel for ICP refinement
     coarse_capacity: int = 4096
     fine_capacity: int = 8192
-    normal_k: int = 16
-    fpfh_k: int = 64
+    normal_radius_factor: float = 2.0  # normals radius = factor * voxel
+    fpfh_radius_factor: float = 5.0  # FPFH radius = factor * voxel (PCL-typical)
     inlier_threshold: float = 0.075
     edge_similarity: float = 0.9
     num_hypotheses: int = 4096
@@ -64,8 +64,10 @@ def register_pair(
 
     def prep(cloud):
         ds = _voxel.voxel_downsample(cloud, cfg.voxel_size, cfg.coarse_capacity)
-        ds = _normals.estimate_normals(ds, k=cfg.normal_k)
-        feat = _fpfh.fpfh(ds, k=cfg.fpfh_k)
+        ds = _normals.estimate_normals_radius(
+            ds, cfg.voxel_size * cfg.normal_radius_factor
+        )
+        feat = _fpfh.fpfh_radius(ds, cfg.voxel_size * cfg.fpfh_radius_factor)
         return ds, feat
 
     ds_i, feat_i = prep(cloud_i)
@@ -83,9 +85,9 @@ def register_pair(
         num_hypotheses=cfg.num_hypotheses,
     )
 
-    fine_i = _normals.estimate_normals(
+    fine_i = _normals.estimate_normals_radius(
         _voxel.voxel_downsample(cloud_i, cfg.icp_voxel_size, cfg.fine_capacity),
-        k=cfg.normal_k,
+        cfg.icp_voxel_size * cfg.normal_radius_factor,
     )
     fine_j = _voxel.voxel_downsample(cloud_j, cfg.icp_voxel_size, cfg.fine_capacity)
     ir = _icp.icp_point_to_plane(

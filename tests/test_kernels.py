@@ -182,3 +182,103 @@ class TestFPFH:
         cloud2 = PointCloud.from_points(pts2, normals=nrm2)
         f1 = np.array(fpfh_mod.fpfh(cloud2, k=10))
         np.testing.assert_allclose(f0, f1, atol=1.5)
+
+
+class TestEigen33:
+    def test_matches_numpy_eigh(self):
+        from elasticreconstruction_tpu.kernels import eigen33
+
+        rng = np.random.default_rng(11)
+        a = rng.normal(size=(200, 3, 3)).astype(np.float32)
+        cov = np.einsum("nij,nkj->nik", a, a)  # SPD
+        vec, ok = eigen33.smallest_eigenvector(jnp.asarray(cov))
+        vec, ok = np.array(vec), np.array(ok)
+        w, v = np.linalg.eigh(cov.astype(np.float64))
+        want = v[..., 0]
+        cos = np.abs(np.sum(vec * want, axis=-1))
+        assert ok.all()
+        assert np.quantile(cos, 0.02) > 0.999, cos.min()
+        vals = np.array(eigen33.eigenvalues(jnp.asarray(cov)))
+        np.testing.assert_allclose(vals, w, rtol=2e-3, atol=2e-4)
+
+    def test_degenerate_isotropic(self):
+        from elasticreconstruction_tpu.kernels import eigen33
+
+        cov = jnp.stack([jnp.eye(3), jnp.zeros((3, 3))])
+        vec, ok = eigen33.smallest_eigenvector(cov)
+        vec, ok = np.array(vec), np.array(ok)
+        assert not ok.any()
+        np.testing.assert_allclose(np.linalg.norm(vec, axis=-1), 1.0, atol=1e-6)
+
+
+class TestRadiusNormals:
+    def test_plane_and_masking(self):
+        rng = np.random.default_rng(12)
+        xy = rng.uniform(-1, 1, size=(256, 2)).astype(np.float32)
+        pts = np.concatenate([xy, np.full((256, 1), 2.0, np.float32)], axis=1)
+        # Append masked-out garbage rows that would corrupt covariances if the
+        # ref mask leaked (they sit right on top of the plane).
+        garbage = pts[:32] + np.array([0.01, 0.0, 0.3], np.float32)
+        allpts = np.concatenate([pts, garbage])
+        mask = np.concatenate([np.ones(256, bool), np.zeros(32, bool)])
+        cloud = PointCloud(
+            points=jnp.asarray(allpts),
+            normals=jnp.zeros_like(jnp.asarray(allpts)),
+            mask=jnp.asarray(mask),
+        )
+        out = normals_mod.estimate_normals_radius(cloud, 0.3)
+        n = np.array(out.normals)[:256]
+        np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-3)
+        assert (n[:, 2] < 0).all()  # oriented toward origin viewpoint
+
+    def test_matches_knn_variant_on_surface(self):
+        rng = np.random.default_rng(13)
+        x = rng.uniform(-1, 1, 2000).astype(np.float32)
+        y = rng.uniform(-1, 1, 2000).astype(np.float32)
+        z = (0.3 * np.sin(2 * x) * np.cos(2 * y)).astype(np.float32)
+        c = PointCloud.from_points(np.stack([x, y, z + 2.0], 1))
+        n1 = np.array(normals_mod.estimate_normals(c, k=16).normals)
+        n2 = np.array(normals_mod.estimate_normals_radius(c, 0.12).normals)
+        agree = np.abs(np.sum(n1 * n2, axis=1))
+        assert agree.mean() > 0.99
+
+
+class TestRadiusFPFH:
+    def _surface_cloud(self, n=1500, seed=14):
+        rng = np.random.default_rng(seed)
+        x = rng.uniform(-1, 1, n).astype(np.float32)
+        y = rng.uniform(-1, 1, n).astype(np.float32)
+        z = (0.3 * np.sin(2 * x) * np.cos(2 * y)).astype(np.float32)
+        pts = np.stack([x, y, z + 2.0], 1)
+        return normals_mod.estimate_normals_radius(PointCloud.from_points(pts), 0.12)
+
+    def test_rigid_invariance(self):
+        from elasticreconstruction_tpu.core import se3
+
+        c = self._surface_cloud()
+        f0 = np.array(fpfh_mod.fpfh_radius(c, 0.25))
+        T = se3.exp(jnp.array([0.1, 0.2, -0.1, 0.5, -0.4, 0.3]))
+        pts2 = se3.apply(T, c.points)
+        nrm2 = se3.rotate(T, c.normals)
+        c2 = PointCloud.from_points(pts2, normals=nrm2)
+        f1 = np.array(fpfh_mod.fpfh_radius(c2, 0.25))
+        # Bin knife-edges allow a few pair flips; systematic drift would blow
+        # far past this (the bf16-matmul regression measured max err 70).
+        assert np.abs(f0 - f1).max() < 2.0
+
+    def test_block_normalization_and_masking(self):
+        c = self._surface_cloud(n=600)
+        f = np.array(fpfh_mod.fpfh_radius(c, 0.3, block_size=128))
+        nonzero = f.sum(1) > 0  # degenerate/masked points get zero descriptors
+        blocks = f[nonzero].reshape(-1, 3, 11).sum(-1)
+        assert nonzero.mean() > 0.95
+        np.testing.assert_allclose(blocks, 100.0, atol=1e-1)
+
+    def test_matches_knn_variant(self):
+        c = self._surface_cloud()
+        fr = np.array(fpfh_mod.fpfh_radius(c, 0.25))
+        fk = np.array(fpfh_mod.fpfh(c, k=48, radius=0.25))
+        cos = np.sum(fr * fk, 1) / np.maximum(
+            np.linalg.norm(fr, axis=1) * np.linalg.norm(fk, axis=1), 1e-9
+        )
+        assert cos.mean() > 0.97
