@@ -56,10 +56,10 @@ def correspondences_for_edge(
     """
     pi_w = se3.apply(T_i, cloud_i.points)
     pj_w = se3.apply(T_j, cloud_j.points)
-    d2, idx = _knn.nearest(pj_w, pi_w, cloud_i.mask)
+    d2, idx = _knn.nearest_auto(pj_w, pi_w, cloud_i.mask)
     close = cloud_j.mask & jnp.isfinite(d2) & (d2 < max_distance * max_distance)
     # Mutual check: j's match in i must match back to j.
-    d2_back, idx_back = _knn.nearest(pi_w, pj_w, cloud_j.mask)
+    d2_back, idx_back = _knn.nearest_auto(pi_w, pj_w, cloud_j.mask)
     mutual = idx_back[idx] == jnp.arange(idx.shape[0], dtype=jnp.int32)
     ok = close & mutual
     order = jnp.argsort(~ok)[:capacity]

@@ -97,3 +97,35 @@ def nearest(
 
     d, idx = jax.lax.map(one_block, blocks)
     return d.reshape(-1)[:nq], idx.reshape(-1)[:nq]
+
+
+def nearest_auto(
+    query: jax.Array, ref: jax.Array, ref_mask: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """`nearest`, routed to the fused Pallas kernel on TPU backends.
+
+    The choice is made at trace time from the process default backend — the
+    hermetic CPU test suite takes the jnp path, TPU runs take Mosaic.  Both
+    return bit-identical indices (validated in tests/test_pallas_kernels.py);
+    only masked-out/padded slots differ (inf vs large-finite sentinel), which
+    every caller already gates behind its own radius threshold.
+
+    NOTE: do not call under ``vmap`` on TPU — Mosaic rejects the squeezed
+    batch dim on 1-D accumulators; use :func:`nearest_auto_batch` instead.
+    """
+    if jax.default_backend() == "tpu":
+        from . import pallas as _pallas
+
+        return _pallas.nn.nearest(query, ref, ref_mask)
+    return nearest(query, ref, ref_mask)
+
+
+def nearest_auto_batch(
+    query: jax.Array, ref: jax.Array, ref_mask: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Batched `nearest` over ``(B, N, 3)``: Pallas grid on TPU, vmap off it."""
+    if jax.default_backend() == "tpu":
+        from . import pallas as _pallas
+
+        return _pallas.nn.nearest_batch(query, ref, ref_mask)
+    return jax.vmap(lambda q, r, m: nearest(q, r, m))(query, ref, ref_mask)

@@ -3,11 +3,17 @@
 The reference refines RANSAC alignments with PCL ``IterativeClosestPoint``
 (point-to-plane variant) at fine resolution (GlobalRegistration/main.cpp —
 SURVEY.md §3.2) and BuildCorrespondence re-runs a tight-threshold pass per
-surviving edge (§3.4).  TPU-native form: correspondence search is a blocked
-MXU nearest-neighbor; the 6x6 normal equations are one masked einsum; the
-whole refinement is a ``lax.scan`` over a static iteration count (no
-data-dependent convergence break — XLA discipline), with a tiny Levenberg
-damping for robustness far from the optimum.
+surviving edge (§3.4).  TPU-native form: correspondence search is a fused
+Pallas nearest-neighbor (MXU distances + running argmin in VMEM; jnp fallback
+off-TPU), the 6x6 normal equations are one masked einsum, and the whole
+refinement is a ``lax.scan`` over a static iteration count (no data-dependent
+convergence break — XLA discipline), with a tiny Levenberg damping for
+robustness far from the optimum.
+
+The primary entry point is the BATCHED form: the correspondence kernel
+carries the batch as an explicit grid dimension (vmapping a Pallas kernel
+with 1-D accumulators violates Mosaic's (8, 128) tiling), and every other op
+is batch-friendly einsum arithmetic.  The unbatched API wraps batch size 1.
 """
 
 from __future__ import annotations
@@ -24,30 +30,69 @@ from ..kernels import knn as _knn
 
 
 class ICPResult(NamedTuple):
-    transform: jax.Array  # (4, 4): maps src-frame points into dst frame
+    transform: jax.Array  # (..., 4, 4): maps src-frame points into dst frame
     fitness: jax.Array  # fraction of valid src points with a close match
     inlier_rmse: jax.Array  # RMSE over matched inliers (m)
     num_inliers: jax.Array  # int32
 
 
-def _step(src_pts, src_mask, dst, T, max_dist, damping):
-    """One GN iteration; returns (T', stats)."""
-    p = se3.apply(T, src_pts)  # (N, 3) transformed src
-    d2, idx = _knn.nearest(p, dst.points, dst.mask)
-    q = dst.points[idx]
-    n = dst.normals[idx]
-    w = (src_mask & (d2 < max_dist * max_dist) & jnp.isfinite(d2)).astype(p.dtype)
-    r = jnp.sum(n * (p - q), axis=-1)  # point-to-plane residual
+def _step_batch(src_pts, src_mask, dst_pts, dst_nrm, dst_mask, T, max_dist, damping):
+    """One GN iteration over a (B, N, 3) batch; returns (T', stats)."""
+    p = jax.vmap(se3.apply)(T, src_pts)  # (B, N, 3)
+    d2, idx = _knn.nearest_auto_batch(p, dst_pts, dst_mask)
+    q = jnp.take_along_axis(dst_pts, idx[..., None], axis=1)
+    n = jnp.take_along_axis(dst_nrm, idx[..., None], axis=1)
+    w = (src_mask & (d2 < max_dist * max_dist)).astype(p.dtype)
+    r = jnp.sum(n * (p - q), axis=-1)  # (B, N) point-to-plane residual
     # J = d r / d xi with left-multiplied update exp(xi) @ T: [n | p x n].
-    J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # (N, 6)
-    H = jnp.einsum("ni,nj->ij", J * w[:, None], J)
-    g = jnp.sum(J * (w * r)[:, None], axis=0)
+    J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # (B, N, 6)
+    H = jnp.einsum("bni,bnj->bij", J * w[..., None], J)
+    g = jnp.einsum("bni,bn->bi", J, w * r)
     H = H + damping * jnp.eye(6, dtype=H.dtype)
-    delta = -jnp.linalg.solve(H, g)
-    T_new = se3.compose(se3.exp(delta), T)
-    n_in = jnp.sum(w)
-    rmse = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(n_in, 1.0))
+    delta = -jnp.linalg.solve(H, g[..., None])[..., 0]
+    T_new = jax.vmap(se3.compose)(jax.vmap(se3.exp)(delta), T)
+    n_in = jnp.sum(w, axis=-1)
+    rmse = jnp.sqrt(jnp.sum(w * r * r, axis=-1) / jnp.maximum(n_in, 1.0))
     return T_new, (n_in, rmse)
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def icp_point_to_plane_batch(
+    src: PointCloud,
+    dst: PointCloud,
+    init_transform: jax.Array,
+    *,
+    max_correspondence_distance: float = 0.075,
+    iterations: int = 30,
+    damping: float = 1e-6,
+) -> ICPResult:
+    """Batched refine: ``src``/``dst`` carry ``(B, N, 3)`` arrays, init ``(B, 4, 4)``.
+
+    ``dst`` must carry normals.  Runs exactly ``iterations`` GN steps
+    (static; XLA-friendly) — converged steps become cheap no-ops numerically.
+    """
+
+    def body(T, _):
+        T_new, stats = _step_batch(
+            src.points,
+            src.mask,
+            dst.points,
+            dst.normals,
+            dst.mask,
+            T,
+            max_correspondence_distance,
+            damping,
+        )
+        return T_new, stats
+
+    T_final, (n_in, rmse) = jax.lax.scan(body, init_transform, None, length=iterations)
+    n_src = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32), axis=-1), 1.0)
+    return ICPResult(
+        transform=T_final,
+        fitness=n_in[-1] / n_src,
+        inlier_rmse=rmse[-1],
+        num_inliers=n_in[-1].astype(jnp.int32),
+    )
 
 
 @partial(jax.jit, static_argnames=("iterations",))
@@ -60,23 +105,13 @@ def icp_point_to_plane(
     iterations: int = 30,
     damping: float = 1e-6,
 ) -> ICPResult:
-    """Refine ``init_transform`` (src -> dst) by point-to-plane ICP.
-
-    ``dst`` must carry normals.  Runs exactly ``iterations`` GN steps
-    (static; XLA-friendly) — converged steps become cheap no-ops numerically.
-    """
-
-    def body(T, _):
-        T_new, stats = _step(
-            src.points, src.mask, dst, T, max_correspondence_distance, damping
-        )
-        return T_new, stats
-
-    T_final, (n_in, rmse) = jax.lax.scan(body, init_transform, None, length=iterations)
-    n_src = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32)), 1.0)
-    return ICPResult(
-        transform=T_final,
-        fitness=n_in[-1] / n_src,
-        inlier_rmse=rmse[-1],
-        num_inliers=n_in[-1].astype(jnp.int32),
+    """Unbatched refine (batch-1 wrapper over :func:`icp_point_to_plane_batch`)."""
+    res = icp_point_to_plane_batch(
+        jax.tree.map(lambda x: x[None], src),
+        jax.tree.map(lambda x: x[None], dst),
+        init_transform[None],
+        max_correspondence_distance=max_correspondence_distance,
+        iterations=iterations,
+        damping=damping,
     )
+    return jax.tree.map(lambda x: x[0], res)

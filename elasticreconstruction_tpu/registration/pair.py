@@ -52,15 +52,26 @@ class RegistrationConfig(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("config",))
-def register_pair(
-    cloud_i: PointCloud,
-    cloud_j: PointCloud,
-    key: jax.Array,
+def register_pairs_batch(
+    clouds_i: PointCloud,
+    clouds_j: PointCloud,
+    keys: jax.Array,
     config: RegistrationConfig = RegistrationConfig(),
     pair_indices: tuple[jax.Array, jax.Array] | None = None,
 ) -> RegistrationResult:
-    """Register fragment j onto fragment i; both clouds in their local frames."""
+    """Register a whole ``(B, N, 3)`` batch of fragment pairs in one computation.
+
+    This is the primary entry point and the unit the device mesh shards over
+    (dist.pair_sharding).  Feature prep / matching / RANSAC are vmapped; ICP
+    and the information-matrix correspondence query flow through the natively
+    batched path so the fused Pallas nearest-neighbor kernel can carry the
+    batch as an explicit grid dimension (vmap over that kernel is not
+    Mosaic-tileable).
+    """
     cfg = config
+    b = keys.shape[0]
+    if pair_indices is None:
+        pair_indices = (jnp.zeros(b, jnp.int32), jnp.ones(b, jnp.int32))
 
     def prep(cloud):
         ds = _voxel.voxel_downsample(cloud, cfg.voxel_size, cfg.coarse_capacity)
@@ -70,27 +81,35 @@ def register_pair(
         feat = _fpfh.fpfh_radius(ds, cfg.voxel_size * cfg.fpfh_radius_factor)
         return ds, feat
 
-    ds_i, feat_i = prep(cloud_i)
-    ds_j, feat_j = prep(cloud_j)
+    ds_i, feat_i = jax.vmap(prep)(clouds_i)
+    ds_j, feat_j = jax.vmap(prep)(clouds_j)
 
-    corr, corr_mask = _features.match_features(feat_j, ds_j.mask, feat_i, ds_i.mask)
-    rr = _ransac.ransac_alignment(
-        ds_j.points,
-        ds_i.points,
-        corr,
-        corr_mask,
-        key,
-        inlier_threshold=cfg.inlier_threshold,
-        edge_similarity=cfg.edge_similarity,
-        num_hypotheses=cfg.num_hypotheses,
+    corr, corr_mask = jax.vmap(_features.match_features)(
+        feat_j, ds_j.mask, feat_i, ds_i.mask
     )
+    rr = jax.vmap(
+        lambda pj, pi, c, m, k: _ransac.ransac_alignment(
+            pj,
+            pi,
+            c,
+            m,
+            k,
+            inlier_threshold=cfg.inlier_threshold,
+            edge_similarity=cfg.edge_similarity,
+            num_hypotheses=cfg.num_hypotheses,
+        )
+    )(ds_j.points, ds_i.points, corr, corr_mask, keys)
 
-    fine_i = _normals.estimate_normals_radius(
-        _voxel.voxel_downsample(cloud_i, cfg.icp_voxel_size, cfg.fine_capacity),
-        cfg.icp_voxel_size * cfg.normal_radius_factor,
-    )
-    fine_j = _voxel.voxel_downsample(cloud_j, cfg.icp_voxel_size, cfg.fine_capacity)
-    ir = _icp.icp_point_to_plane(
+    fine_i = jax.vmap(
+        lambda c: _normals.estimate_normals_radius(
+            _voxel.voxel_downsample(c, cfg.icp_voxel_size, cfg.fine_capacity),
+            cfg.icp_voxel_size * cfg.normal_radius_factor,
+        )
+    )(clouds_i)
+    fine_j = jax.vmap(
+        lambda c: _voxel.voxel_downsample(c, cfg.icp_voxel_size, cfg.fine_capacity)
+    )(clouds_j)
+    ir = _icp.icp_point_to_plane_batch(
         fine_j,
         fine_i,
         rr.transform,
@@ -100,25 +119,21 @@ def register_pair(
 
     # Information matrix over src points expressed in the target (i) frame,
     # restricted to points that found a close match under the final transform.
-    p = se3.apply(ir.transform, fine_j.points)
     from ..kernels import knn as _knn
 
-    d2, _ = _knn.nearest(p, fine_i.points, fine_i.mask)
+    p = jax.vmap(se3.apply)(ir.transform, fine_j.points)
+    d2, _ = _knn.nearest_auto_batch(p, fine_i.points, fine_i.mask)
     inl = fine_j.mask & (d2 < cfg.inlier_threshold**2)
-    info = _infomat.information_matrix(p, inl)
+    info = jax.vmap(_infomat.information_matrix)(p, inl)
 
     success = (
         (rr.num_inliers >= cfg.min_inliers)
         & (ir.fitness >= cfg.min_fitness)
-        & jnp.all(jnp.isfinite(ir.transform))
-    )
-    i_idx, j_idx = pair_indices if pair_indices is not None else (
-        jnp.int32(0),
-        jnp.int32(1),
+        & jnp.all(jnp.isfinite(ir.transform), axis=(-2, -1))
     )
     return RegistrationResult(
-        i=i_idx,
-        j=j_idx,
+        i=pair_indices[0],
+        j=pair_indices[1],
         transform=ir.transform,
         information=info,
         num_inliers=rr.num_inliers,
@@ -128,22 +143,24 @@ def register_pair(
 
 
 @partial(jax.jit, static_argnames=("config",))
-def register_pairs_batch(
-    clouds_i: PointCloud,
-    clouds_j: PointCloud,
-    keys: jax.Array,
+def register_pair(
+    cloud_i: PointCloud,
+    cloud_j: PointCloud,
+    key: jax.Array,
     config: RegistrationConfig = RegistrationConfig(),
     pair_indices: tuple[jax.Array, jax.Array] | None = None,
 ) -> RegistrationResult:
-    """vmap of :func:`register_pair` over a leading batch axis.
-
-    ``clouds_i``/``clouds_j`` carry stacked ``(B, N, 3)`` arrays; ``keys`` is
-    ``(B, 2)`` PRNG keys.  One XLA computation registers the whole batch —
-    this is the unit the device mesh shards over (dist.pair_sharding).
-    """
+    """Register fragment j onto fragment i (batch-1 wrapper, same contract)."""
     if pair_indices is None:
-        b = keys.shape[0]
-        pair_indices = (jnp.zeros(b, jnp.int32), jnp.ones(b, jnp.int32))
-    return jax.vmap(
-        lambda ci, cj, k, pi, pj: register_pair(ci, cj, k, config, (pi, pj))
-    )(clouds_i, clouds_j, keys, *pair_indices)
+        pair_indices = (jnp.int32(0), jnp.int32(1))
+    res = register_pairs_batch(
+        jax.tree.map(lambda x: x[None], cloud_i),
+        jax.tree.map(lambda x: x[None], cloud_j),
+        key[None],
+        config,
+        (
+            jnp.asarray(pair_indices[0], jnp.int32)[None],
+            jnp.asarray(pair_indices[1], jnp.int32)[None],
+        ),
+    )
+    return jax.tree.map(lambda x: x[0], res)
