@@ -21,6 +21,6 @@ def available() -> bool:
         return False
 
 
-from . import nn  # noqa: E402
+from . import icp_step, nn  # noqa: E402
 
-__all__ = ["available", "nn"]
+__all__ = ["available", "icp_step", "nn"]

@@ -78,12 +78,23 @@ def build_fragment(
     )
 
     def step(carry, depth):
-        vol, T_prev, T_prev2 = carry
-        # Constant-velocity prediction: seed tracking at T_prev extrapolated
-        # by the last inter-frame motion (KinFu seeds at T_prev; the
-        # prediction roughly doubles the tolerable per-frame motion).
-        T_pred = T_prev @ (se3.inverse(T_prev2) @ T_prev)
+        vol, T_prev, T_prev2, prev_ok = carry
+        # Tracking seed: previous pose, optionally extrapolated by a DAMPED
+        # fraction of the last inter-frame twist (cfg.odometry.velocity_gain;
+        # 0 = KinFu's plain T_prev seed — full extrapolation is unstable, see
+        # OdometryConfig).  Only applied while tracking is healthy: while
+        # LOST, re-applying a junk velocity compounds geometrically, so the
+        # pose HOLDS until the scene is reacquired.
+        gain = cfg.odometry.velocity_gain
+        if gain > 0:
+            vel = se3.log(se3.inverse(T_prev2) @ T_prev)
+            T_extrap = T_prev @ se3.exp(gain * vel)
+            T_pred = jnp.where(prev_ok, T_extrap, T_prev)
+        else:
+            T_pred = T_prev
         tr = track_frame(vol, depth, T_pred, intr, cfg.odometry)
+        lost = tr.fitness < 1e-3
+        tr = tr._replace(pose=jnp.where(lost, T_pred, tr.pose))
         vol = _tsdf.fuse(
             vol,
             depth,
@@ -93,10 +104,10 @@ def build_fragment(
             depth_min=cfg.depth_min,
             depth_max=cfg.depth_max,
         )
-        return (vol, tr.pose, T_prev), (tr.pose, tr.fitness, tr.rmse)
+        return (vol, tr.pose, T_prev, ~lost), (tr.pose, tr.fitness, tr.rmse)
 
-    (vol, _, _), (poses, fit, rmse) = jax.lax.scan(
-        step, (vol, se3.identity(), se3.identity()), depths[1:]
+    (vol, _, _, _), (poses, fit, rmse) = jax.lax.scan(
+        step, (vol, se3.identity(), se3.identity(), jnp.bool_(True)), depths[1:]
     )
     all_poses = jnp.concatenate([se3.identity((1,)), poses], axis=0)
     all_fit = jnp.concatenate([jnp.ones((1,), jnp.float32), fit])

@@ -31,6 +31,14 @@ class OdometryConfig(NamedTuple):
     depth_max: float = 6.0
     raycast_steps: int = 192
     damping: float = 1e-6
+    min_support: float = 50.0  # matched pixels below which the GN update is skipped
+    max_step: float = 0.5  # per-iteration |delta| clamp (rad / m) — trust region
+    # Velocity-extrapolation gain for the tracking seed: 0 = seed at the
+    # previous pose (KinFu's choice).  Any gain near 1 is UNSTABLE on weakly
+    # constrained geometry: point-to-plane ICP has a null space along which
+    # fitness stays high, and full extrapolation doubles the null-space error
+    # every frame (measured ~2.4x/frame divergence on a flat-ish view).
+    velocity_gain: float = 0.0
 
 
 class TrackResult(NamedTuple):
@@ -80,8 +88,12 @@ def _gn_level(
             & model.valid[v, u]
             & (jnp.sum((p_w - q) ** 2, axis=-1) < cfg.dist_threshold**2)
         )
-        # Normal-compatibility: current-frame normals vs model normals.
+        # Zero the rejected pixels BEFORE any arithmetic: raycast normals of
+        # invalid pixels can be NaN and the masked einsum below would still
+        # propagate them (NaN * 0 = NaN poisons H and then every later pose).
         w8 = ok.astype(jnp.float32)
+        n = jnp.where(ok[..., None], n, 0.0)
+        q = jnp.where(ok[..., None], q, 0.0)
         r = jnp.sum(n * (p_w - q), axis=-1)
         J = jnp.concatenate([n, jnp.cross(p_w, n)], axis=-1)  # (h, w, 6)
         Jf = J.reshape(-1, 6)
@@ -89,7 +101,17 @@ def _gn_level(
         rf = r.reshape(-1)
         H = jnp.einsum("ni,nj->ij", Jf * wf[:, None], Jf)
         g = jnp.sum(Jf * (wf * rf)[:, None], axis=0)
-        delta = -jnp.linalg.solve(H + cfg.damping * jnp.eye(6), g)
+        # NaN-free by construction (isfinite guards are unreliable under XLA
+        # optimization): trace-relative Levenberg damping keeps the system
+        # SPD and well-conditioned even when the data term is rank-deficient,
+        # the trust-region clamp bounds each step, and vanishing support
+        # freezes the pose instead of chasing a junk solve.
+        mu = cfg.damping * (1.0 + jnp.trace(H) / 6.0)
+        delta = -jnp.linalg.solve(H + mu * jnp.eye(6), g)
+        n_support = jnp.sum(w8)
+        delta = jnp.clip(delta, -cfg.max_step, cfg.max_step) * (
+            n_support >= cfg.min_support
+        ).astype(delta.dtype)
         T_new = se3.compose(se3.exp(delta), T)
         n_ok = jnp.sum(wf)
         rmse = jnp.sqrt(jnp.sum(wf * rf * rf) / jnp.maximum(n_ok, 1.0))

@@ -43,9 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="out", help="artifact directory")
     p.add_argument("--frames-per-fragment", type=int, default=50)
     p.add_argument("--slac-mode", default="slac", choices=["rigid", "slac", "nonrigid", "none"])
-    p.add_argument("--scene-voxel", type=float, default=0.015)
-    p.add_argument("--fragment-voxel", type=float, default=0.012)
-    p.add_argument("--fragment-volume", type=int, default=256, help="fragment TSDF resolution per axis")
+    p.add_argument("--scene-voxel", type=float, default=None, help="default 0.015 (full) / 0.03 (fast)")
+    p.add_argument("--fragment-voxel", type=float, default=None, help="default 0.012 (full) / 0.024 (fast)")
+    p.add_argument("--fragment-volume", type=int, default=None, help="fragment TSDF resolution per axis; default 256 (full) / 128 (fast)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--spill-corres", action="store_true")
     p.add_argument(
@@ -66,10 +66,16 @@ def config_from_args(args) -> PipelineConfig:
     from ..registration.pair import RegistrationConfig
 
     fast = args.preset == "fast"
+    # Volumetric resolutions scale with the preset unless explicitly set:
+    # the "fast" preview halves the fragment grid and doubles both voxel
+    # sizes (same metric extent, 8x fewer voxels).
+    fragment_volume = args.fragment_volume or (128 if fast else 256)
+    fragment_voxel = args.fragment_voxel or (0.024 if fast else 0.012)
+    scene_voxel = args.scene_voxel or (0.03 if fast else 0.015)
     frag = FragmentConfig(
         frames_per_fragment=args.frames_per_fragment,
-        volume_shape=(args.fragment_volume,) * 3,
-        voxel_size=args.fragment_voxel,
+        volume_shape=(fragment_volume,) * 3,
+        voxel_size=fragment_voxel,
         cloud_capacity=(1 << 14) if fast else (1 << 17),
         odometry=OdometryConfig(levels=2, raycast_steps=128) if fast else OdometryConfig(),
     )
@@ -90,7 +96,7 @@ def config_from_args(args) -> PipelineConfig:
         slac=slac,
         slac_mode=args.slac_mode,
         corres_capacity_per_edge=2048 if fast else 4096,
-        scene_voxel_size=args.scene_voxel,
+        scene_voxel_size=scene_voxel,
         seed=args.seed,
     )
 

@@ -175,28 +175,30 @@ def run_registration(cfg: PipelineConfig) -> None:
     )
 
     # Loop candidates: all non-adjacent pairs, batched through the jitted
-    # vmapped registrar (the reference farmed these across a cluster —
-    # SURVEY.md §3.2; dist.pair_sharding shards the same batches over chips).
+    # registrar (the reference farmed these across a cluster — SURVEY.md
+    # §3.2; dist.pair_sharding shards the same batches over chips).  Each
+    # fragment is prepped (downsample/normals/FPFH) exactly once; the pair
+    # loop only gathers prepped rows — the reference re-preprocessed both
+    # clouds inside every pair job.
+    from ..registration import prep_fragments_batch, register_prepped_batch
+
     pairs = [(i, j) for i in range(nf) for j in range(i + 2, nf)]
     results = []
     B = cfg.registration_batch
     key = jax.random.PRNGKey(cfg.seed)
+    all_clouds = jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
+    prepped = prep_fragments_batch(all_clouds, cfg.registration)
     for s in range(0, len(pairs), B):
         chunk = pairs[s : s + B]
         pad = B - len(chunk)
         chunk_p = chunk + [chunk[-1]] * pad
-        ci = jax.tree.map(lambda *xs: jnp.stack(xs), *[clouds[i] for i, _ in chunk_p])
-        cj = jax.tree.map(lambda *xs: jnp.stack(xs), *[clouds[j] for _, j in chunk_p])
         keys = jax.random.split(jax.random.fold_in(key, s), B)
-        res = register_pairs_batch(
-            ci,
-            cj,
+        res = register_prepped_batch(
+            prepped,
+            jnp.array([i for i, _ in chunk_p], jnp.int32),
+            jnp.array([j for _, j in chunk_p], jnp.int32),
             keys,
             cfg.registration,
-            (
-                jnp.array([i for i, _ in chunk_p], jnp.int32),
-                jnp.array([j for _, j in chunk_p], jnp.int32),
-            ),
         )
         for b in range(len(chunk)):
             results.append(jax.tree.map(lambda x: np.array(x[b]), res))
@@ -249,6 +251,15 @@ def run_posegraph(cfg: PipelineConfig) -> None:
     Ts = [e.transform for e in odo.entries] + [e.transform for e in loop.entries]
     infos = [e.info for e in odo_info.entries] + [e.info for e in loop_info.entries]
     is_odo = [True] * len(odo.entries) + [False] * len(loop.entries)
+    if not ii:
+        # Single-fragment scene: nothing to optimize — pass the fragment base
+        # pose straight through so downstream stages still run.
+        io_logfmt.write_log(
+            out / "pose.log", io_logfmt.Trajectory.from_matrices(bases.astype(np.float64))
+        )
+        (out / "kept_edges.txt").write_text("")
+        _log("posegraph", "done", edges=0, loops=0, loops_kept=0, seconds=0.0)
+        return
     edges = EdgeList.build(
         np.array(ii),
         np.array(jj),

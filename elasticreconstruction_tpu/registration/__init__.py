@@ -9,7 +9,14 @@ of the reference's cluster-distributed independent registration jobs).
 """
 
 from . import features, icp, infomat, pair, ransac
-from .pair import RegistrationConfig, register_pair, register_pairs_batch
+from .pair import (
+    PreppedFragments,
+    RegistrationConfig,
+    prep_fragments_batch,
+    register_pair,
+    register_pairs_batch,
+    register_prepped_batch,
+)
 
 __all__ = [
     "features",
@@ -17,7 +24,10 @@ __all__ = [
     "infomat",
     "pair",
     "ransac",
+    "PreppedFragments",
     "RegistrationConfig",
+    "prep_fragments_batch",
     "register_pair",
     "register_pairs_batch",
+    "register_prepped_batch",
 ]

@@ -51,6 +51,71 @@ class RegistrationConfig(NamedTuple):
     min_fitness: float = 0.25  # min fraction of src points matched after ICP
 
 
+class PreppedFragments(NamedTuple):
+    """Per-fragment registration inputs, computed ONCE per fragment.
+
+    The reference re-preprocesses both clouds inside every pairwise
+    registration job (GlobalRegistration/main.cpp loads + downsamples +
+    re-estimates features per pair — SURVEY.md §3.2).  Each fragment
+    participates in O(F) pairs, so hoisting downsample/normals/FPFH out of
+    the pair loop amortizes the whole prep cost to ~zero in the all-pairs
+    stage — an algorithmic win the file-per-job reference couldn't take.
+    """
+
+    coarse: PointCloud  # (F, Nc, ...) downsampled + normals
+    features: jax.Array  # (F, Nc, 33) FPFH
+    fine: PointCloud  # (F, Nf, ...) ICP-resolution cloud + normals
+
+
+@partial(jax.jit, static_argnames=("config",))
+def prep_fragments_batch(
+    clouds: PointCloud, config: RegistrationConfig = RegistrationConfig()
+) -> PreppedFragments:
+    """Run the per-fragment pipeline (downsample/normals/FPFH, both scales)."""
+    cfg = config
+
+    def prep(cloud):
+        ds = _voxel.voxel_downsample(cloud, cfg.voxel_size, cfg.coarse_capacity)
+        ds = _normals.estimate_normals_radius(
+            ds, cfg.voxel_size * cfg.normal_radius_factor
+        )
+        feat = _fpfh.fpfh_radius(ds, cfg.voxel_size * cfg.fpfh_radius_factor)
+        fine = _normals.estimate_normals_radius(
+            _voxel.voxel_downsample(cloud, cfg.icp_voxel_size, cfg.fine_capacity),
+            cfg.icp_voxel_size * cfg.normal_radius_factor,
+        )
+        return PreppedFragments(coarse=ds, features=feat, fine=fine)
+
+    return jax.vmap(prep)(clouds)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def register_prepped_batch(
+    prepped: PreppedFragments,
+    idx_i: jax.Array,
+    idx_j: jax.Array,
+    keys: jax.Array,
+    config: RegistrationConfig = RegistrationConfig(),
+) -> RegistrationResult:
+    """Register pairs ``(idx_i[k], idx_j[k])`` of already-prepped fragments.
+
+    The production all-pairs path: gathers per-pair inputs from the stacked
+    prep arrays, then matching -> RANSAC -> batched ICP -> info matrix.
+    """
+    take = lambda tree, ix: jax.tree.map(lambda x: x[ix], tree)
+    return _register_core(
+        take(prepped.coarse, idx_i),
+        prepped.features[idx_i],
+        take(prepped.coarse, idx_j),
+        prepped.features[idx_j],
+        take(prepped.fine, idx_i),
+        take(prepped.fine, idx_j),
+        keys,
+        config,
+        (idx_i.astype(jnp.int32), idx_j.astype(jnp.int32)),
+    )
+
+
 @partial(jax.jit, static_argnames=("config",))
 def register_pairs_batch(
     clouds_i: PointCloud,
@@ -61,12 +126,10 @@ def register_pairs_batch(
 ) -> RegistrationResult:
     """Register a whole ``(B, N, 3)`` batch of fragment pairs in one computation.
 
-    This is the primary entry point and the unit the device mesh shards over
-    (dist.pair_sharding).  Feature prep / matching / RANSAC are vmapped; ICP
-    and the information-matrix correspondence query flow through the natively
-    batched path so the fused Pallas nearest-neighbor kernel can carry the
-    batch as an explicit grid dimension (vmap over that kernel is not
-    Mosaic-tileable).
+    Self-contained variant (preps both clouds inline — use
+    :func:`prep_fragments_batch` + :func:`register_prepped_batch` when
+    fragments recur across pairs).  This is the unit the device mesh shards
+    over (dist.pair_sharding).
     """
     cfg = config
     b = keys.shape[0]
@@ -83,7 +146,38 @@ def register_pairs_batch(
 
     ds_i, feat_i = jax.vmap(prep)(clouds_i)
     ds_j, feat_j = jax.vmap(prep)(clouds_j)
+    fine_i = jax.vmap(
+        lambda c: _normals.estimate_normals_radius(
+            _voxel.voxel_downsample(c, cfg.icp_voxel_size, cfg.fine_capacity),
+            cfg.icp_voxel_size * cfg.normal_radius_factor,
+        )
+    )(clouds_i)
+    fine_j = jax.vmap(
+        lambda c: _voxel.voxel_downsample(c, cfg.icp_voxel_size, cfg.fine_capacity)
+    )(clouds_j)
+    return _register_core(
+        ds_i, feat_i, ds_j, feat_j, fine_i, fine_j, keys, cfg, pair_indices
+    )
 
+
+def _register_core(
+    ds_i: PointCloud,
+    feat_i: jax.Array,
+    ds_j: PointCloud,
+    feat_j: jax.Array,
+    fine_i: PointCloud,
+    fine_j: PointCloud,
+    keys: jax.Array,
+    cfg: RegistrationConfig,
+    pair_indices: tuple[jax.Array, jax.Array],
+) -> RegistrationResult:
+    """Matching -> RANSAC -> batched ICP -> info matrix on prepped inputs.
+
+    Feature matching / RANSAC are vmapped; ICP and the information-matrix
+    correspondence query flow through the natively batched path so the fused
+    Pallas nearest-neighbor kernel can carry the batch as an explicit grid
+    dimension (vmap over that kernel is not Mosaic-tileable).
+    """
     corr, corr_mask = jax.vmap(_features.match_features)(
         feat_j, ds_j.mask, feat_i, ds_i.mask
     )
@@ -100,15 +194,6 @@ def register_pairs_batch(
         )
     )(ds_j.points, ds_i.points, corr, corr_mask, keys)
 
-    fine_i = jax.vmap(
-        lambda c: _normals.estimate_normals_radius(
-            _voxel.voxel_downsample(c, cfg.icp_voxel_size, cfg.fine_capacity),
-            cfg.icp_voxel_size * cfg.normal_radius_factor,
-        )
-    )(clouds_i)
-    fine_j = jax.vmap(
-        lambda c: _voxel.voxel_downsample(c, cfg.icp_voxel_size, cfg.fine_capacity)
-    )(clouds_j)
     ir = _icp.icp_point_to_plane_batch(
         fine_j,
         fine_i,

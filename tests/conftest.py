@@ -13,7 +13,12 @@ if not os.environ.get("ER_TEST_ON_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_enable_fast_math" not in flags:
+    # XLA:CPU fast-math folds isfinite() guards and makes NaN comparisons
+    # undefined; keep IEEE semantics so CPU tests agree with TPU behavior.
+    flags = (flags + " --xla_cpu_enable_fast_math=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402  (must import after env setup)
 
