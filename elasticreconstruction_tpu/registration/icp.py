@@ -113,12 +113,21 @@ def icp_point_to_plane_batch(
     # iteration cap).  ICP from a RANSAC init typically converges in ~5-10
     # steps, and the correspondence search dominates, so this recovers 2-3x
     # over a fixed 30-step scan at identical results (converged steps were
-    # numerical no-ops anyway).
-    tol2 = jnp.float32(1e-12)  # |delta|^2 — ~1e-6 rad/m per-step motion
+    # numerical no-ops anyway).  Pairs that are HOPELESS after a few probe
+    # iterations (almost no matched points — the all-pairs stage legitimately
+    # feeds many non-overlapping candidates) stop gating the batch: their
+    # final result is rejected by the caller's fitness threshold either way.
+    # |delta|^2 threshold: |delta| = 1e-5 rad/m per step — far below any voxel
+    # size, and above the f32 GN noise floor (1e-12 would never trigger).
+    tol2 = jnp.float32(1e-10)
+    probe_iters = min(5, iterations)
+    hopeless_fitness = 0.05  # way below any acceptance threshold
+
+    n_src = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32), axis=-1), 1.0)
 
     def cond(state):
-        it, _, _, _, unconverged = state
-        return (it < iterations) & unconverged
+        it, _, _, _, active = state
+        return (it < iterations) & active
 
     def body(state):
         it, T, _, _, _ = state
@@ -132,8 +141,10 @@ def icp_point_to_plane_batch(
             max_correspondence_distance,
             damping,
         )
-        unconverged = jnp.any(jnp.sum(delta * delta, axis=-1) > tol2)
-        return (it + 1, T_new, stats[0], stats[1], unconverged)
+        converged = jnp.sum(delta * delta, axis=-1) <= tol2
+        hopeless = (it + 1 >= probe_iters) & (stats[0] / n_src < hopeless_fitness)
+        active = jnp.any(~(converged | hopeless))
+        return (it + 1, T_new, stats[0], stats[1], active)
 
     init = (
         jnp.int32(0),
@@ -143,7 +154,6 @@ def icp_point_to_plane_batch(
         jnp.bool_(True),
     )
     _, T_final, n_in, rmse, _ = jax.lax.while_loop(cond, body, init)
-    n_src = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32), axis=-1), 1.0)
     return ICPResult(
         transform=T_final,
         fitness=n_in / n_src,

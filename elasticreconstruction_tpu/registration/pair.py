@@ -47,6 +47,12 @@ class RegistrationConfig(NamedTuple):
     edge_similarity: float = 0.9
     num_hypotheses: int = 4096
     icp_iterations: int = 30
+    # ICP source stride: the GN system is 6-dof from thousands of residuals,
+    # so matching every icp_src_stride-th source point (the downsample output
+    # is voxel-key sorted => spatially uniform) halves the dominant NN cost
+    # per stride step at no measurable accuracy cost.  The dst cloud stays
+    # dense — it is the matching TARGET and sets the correspondence accuracy.
+    icp_src_stride: int = 2
     min_inliers: int = 12
     min_fitness: float = 0.25  # min fraction of src points matched after ICP
 
@@ -194,8 +200,13 @@ def _register_core(
         )
     )(ds_j.points, ds_i.points, corr, corr_mask, keys)
 
+    icp_src = (
+        jax.tree.map(lambda x: x[:, :: cfg.icp_src_stride], fine_j)
+        if cfg.icp_src_stride > 1
+        else fine_j
+    )
     ir = _icp.icp_point_to_plane_batch(
-        fine_j,
+        icp_src,
         fine_i,
         rr.transform,
         max_correspondence_distance=cfg.inlier_threshold,
