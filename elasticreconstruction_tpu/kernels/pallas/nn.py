@@ -62,7 +62,7 @@ def nearest_batch(
     ref_mask: jax.Array,
     *,
     block_q: int = 1024,
-    block_r: int = 2048,
+    block_r: int = 4096,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-batch nearest reference point for each query point.
@@ -110,6 +110,9 @@ def nearest_batch(
             jax.ShapeDtypeStruct((b * nqp,), jnp.float32),
             jax.ShapeDtypeStruct((b * nqp,), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,  # (1024, 4096) f32 tiles
+        ),
         interpret=interpret,
     )(qp, rp, inf_row)
     return (
@@ -125,7 +128,7 @@ def nearest(
     ref_mask: jax.Array,
     *,
     block_q: int = 1024,
-    block_r: int = 2048,
+    block_r: int = 4096,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Unbatched wrapper over :func:`nearest_batch` (drop-in for knn.nearest)."""

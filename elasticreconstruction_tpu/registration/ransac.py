@@ -132,12 +132,15 @@ def ransac_alignment(
     # <ab^T, R> with ab[c, i, j] = b_i a_j so sum_ij R_ij b_i a_j = b.(R a).
     ab = (b[:, :, None] * a[:, None, :]).reshape(c, 9)  # outer prods (C, 9)
     rflat = R.reshape(num_hypotheses, 9)
+    # One K=15 matmul instead of three K<=9 ones: each (B, C) product is a
+    # 64 MB array per pair, and under a pair-batch vmap the extra passes were
+    # the stage's entire cost (HBM traffic, not FLOPs).
+    lhs = jnp.concatenate([t, rt, rflat], axis=1)  # (B, 15)
+    rhs = jnp.concatenate([-b, a, -ab], axis=1)  # (C, 15)
     err2 = (
         s_c[None, :]
         + t2[:, None]
-        - 2.0 * jnp.dot(t, b.T, preferred_element_type=jnp.float32)
-        + 2.0 * jnp.dot(rt, a.T, preferred_element_type=jnp.float32)
-        - 2.0 * jnp.dot(rflat, ab.T, preferred_element_type=jnp.float32)
+        + 2.0 * jnp.dot(lhs, rhs.T, preferred_element_type=jnp.float32)
     )  # (B, C)
     inl = (err2 < inlier_threshold * inlier_threshold) & corr_mask[None, :]
     score = jnp.sum(inl, axis=-1) * compatible.astype(jnp.int32)  # (B,)
