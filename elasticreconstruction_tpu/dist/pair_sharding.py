@@ -14,7 +14,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.types import PointCloud, RegistrationResult
-from ..registration.pair import RegistrationConfig, register_pairs_batch
+from ..registration.pair import (
+    PreppedFragments,
+    RegistrationConfig,
+    register_pairs_batch,
+    register_prepped_batch,
+)
 
 
 def shard_batch(tree, mesh: Mesh, axis: str = "d"):
@@ -46,3 +51,32 @@ def register_pairs_sharded(
     ks = shard_batch(keys, mesh, axis)
     pi = shard_batch(pair_indices, mesh, axis) if pair_indices is not None else None
     return register_pairs_batch(ci, cj, ks, config, pi)
+
+
+def register_prepped_sharded(
+    prepped: PreppedFragments,
+    idx_i: jax.Array,
+    idx_j: jax.Array,
+    keys: jax.Array,
+    mesh: Mesh,
+    config: RegistrationConfig = RegistrationConfig(),
+    axis: str = "d",
+) -> RegistrationResult:
+    """Production all-pairs path over the mesh: prep once, shard the pairs.
+
+    The prepped fragment stack is REPLICATED on every device (a fragment's
+    prep is ~1 MB — F fragments fit trivially) and the pair-index/key arrays
+    are sharded, so each device gathers only its own pairs' rows and the
+    whole stage runs collective-free, exactly like the reference's
+    independent cluster jobs but with prep amortized across all pairs.
+    """
+    n = mesh.devices.size
+    b = keys.shape[0]
+    if b % n != 0:
+        raise ValueError(f"batch {b} not divisible by mesh size {n}")
+    rep = NamedSharding(mesh, P())  # replicated
+    prepped_r = jax.tree.map(lambda x: jax.device_put(x, rep), prepped)
+    ii = shard_batch(idx_i.astype(jnp.int32), mesh, axis)
+    jj = shard_batch(idx_j.astype(jnp.int32), mesh, axis)
+    ks = shard_batch(keys, mesh, axis)
+    return register_prepped_batch(prepped_r, ii, jj, ks, config)

@@ -149,3 +149,43 @@ class TestVolumeSharding:
         np.testing.assert_array_equal(
             np.array(fused_single.weight), np.array(fused_shard.weight)
         )
+
+
+class TestPreppedSharding:
+    def test_prepped_sharded_matches_single(self):
+        from elasticreconstruction_tpu.registration import (
+            prep_fragments_batch,
+            register_prepped_batch,
+        )
+
+        rng = np.random.default_rng(1)
+        mesh = make_mesh(8)
+        world = wavy(rng, 3000)
+        Ts = [
+            se3.exp(jnp.asarray(rng.uniform(-0.2, 0.2, 6).astype(np.float32)))
+            for _ in range(3)
+        ]
+        clouds = [
+            PointCloud.from_points(np.array(se3.apply(se3.inverse(T), jnp.array(world))))
+            for T in Ts
+        ]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
+        cfg = RegistrationConfig(
+            coarse_capacity=2048, fine_capacity=2048, num_hypotheses=1024
+        )
+        prepped = prep_fragments_batch(stacked, cfg)
+        # 8 pairs = mesh size; mix of the three fragments.
+        ii = jnp.asarray(np.array([0, 0, 1, 1, 2, 2, 0, 1], np.int32))
+        jj = jnp.asarray(np.array([1, 2, 0, 2, 0, 1, 1, 2], np.int32))
+        keys = jax.random.split(jax.random.PRNGKey(7), 8)
+        res_single = register_prepped_batch(prepped, ii, jj, keys, cfg)
+        res_shard = pair_sharding.register_prepped_sharded(
+            prepped, ii, jj, keys, mesh, cfg
+        )
+        np.testing.assert_allclose(
+            np.array(res_single.transform), np.array(res_shard.transform), atol=2e-4
+        )
+        np.testing.assert_array_equal(
+            np.array(res_single.success), np.array(res_shard.success)
+        )
+        assert np.array(res_shard.success).all()

@@ -43,3 +43,30 @@ class TestPallasNearest:
         # Contract: masked refs surface as a huge distance that fails any
         # caller-side radius gate (jnp path uses inf, pallas a finite BIG).
         assert (np.array(d_p) > 1e30).all()
+
+
+class TestFusedICPStep:
+    def test_matches_xla_normal_eqs(self):
+        from elasticreconstruction_tpu.kernels.pallas import icp_step
+        from elasticreconstruction_tpu.registration.icp import _normal_eqs_xla
+
+        rng = np.random.default_rng(24)
+        B, N, M = 2, 400, 500
+        p = jnp.asarray(rng.uniform(-2, 2, (B, N, 3)).astype(np.float32))
+        w = jnp.asarray((rng.uniform(size=(B, N)) > 0.1).astype(np.float32))
+        d = jnp.asarray(rng.uniform(-2, 2, (B, M, 3)).astype(np.float32))
+        nr = rng.normal(size=(B, M, 3))
+        nr /= np.linalg.norm(nr, axis=-1, keepdims=True)
+        nr = jnp.asarray(nr.astype(np.float32))
+        mask = jnp.asarray(
+            np.tile(np.r_[np.ones(450, bool), np.zeros(50, bool)], (B, 1))
+        )
+        H1, g1, n1, w1 = icp_step.normal_eqs_batch(
+            p, w, d, nr, mask, max_dist=0.5, block_q=128, block_r=256, interpret=True
+        )
+        H2, g2, n2, w2 = _normal_eqs_xla(p, w, d, nr, mask, 0.5)
+        np.testing.assert_allclose(np.array(n1), np.array(n2), atol=0.5)
+        for a, b2, tol in ((H1, H2, 1e-3), (g1, g2, 1e-3), (w1, w2, 1e-4)):
+            a, b2 = np.array(a), np.array(b2)
+            rel = np.abs(a - b2).max() / max(np.abs(b2).max(), 1e-9)
+            assert rel < tol, rel
