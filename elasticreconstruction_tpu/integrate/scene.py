@@ -5,8 +5,9 @@ raw sequence, optionally undistort depth through the SLAC control lattice,
 compose the frame's pose from (fragment pose o within-fragment odometry
 pose), and fuse into one scene volume.  Here frames are fused in jitted
 chunks via ``lax.scan``; the host pipeline streams depth chunks through.
-Lattice undistortion plugs in through the ``warp_fn`` hook (see
-``elastic.lattice.make_depth_undistorter``).
+Lattice undistortion composes an inverse lattice warp with the rigid
+transform and feeds the warped voxel centers to
+``kernels.tsdf.fuse_at_camera_points`` (see :func:`integrate_frames_slac`).
 """
 
 from __future__ import annotations
@@ -97,23 +98,16 @@ def integrate_frames_slac(
         Ll_inv = se3.inverse(Lk)
         p_world = _tsdf.voxel_centers(v)
         p_cam = warp(p_world, Tf_inv, Ll_inv, disp)
-        uv, in_img = cam.project(p_cam, intr)
-        u = jnp.clip(jnp.round(uv[..., 0]), 0, intr.width - 1).astype(jnp.int32)
-        vv = jnp.clip(jnp.round(uv[..., 1]), 0, intr.height - 1).astype(jnp.int32)
-        d = depth[vv, u]
-        sdf = d - p_cam[..., 2]
-        valid = (
-            in_img
-            & (d >= cfg.depth_min)
-            & (d <= cfg.depth_max)
-            & (sdf >= -v.truncation)
+        v = _tsdf.fuse_at_camera_points(
+            v,
+            depth,
+            p_cam,
+            intr,
+            max_weight=cfg.max_weight,
+            depth_min=cfg.depth_min,
+            depth_max=cfg.depth_max,
         )
-        tsdf_obs = jnp.clip(sdf / v.truncation, -1.0, 1.0)
-        w_new = v.weight + valid.astype(jnp.float32)
-        tsdf_new = jnp.where(
-            valid, (v.tsdf * v.weight + tsdf_obs) / jnp.maximum(w_new, 1.0), v.tsdf
-        )
-        return v._replace(tsdf=tsdf_new, weight=jnp.minimum(w_new, cfg.max_weight)), None
+        return v, None
 
     vol, _ = jax.lax.scan(step, vol, (depths, frag_poses, local_poses, displacement))
     return vol

@@ -82,48 +82,35 @@ def fuse(
     R = pose[:3, :3]
     t = pose[:3, 3]
     p_cam = (p_world - t) @ R  # R^T @ (p - t), batched
-    uv, in_img = cam.project(p_cam, intr)
-    u = jnp.clip(jnp.round(uv[..., 0]), 0, intr.width - 1).astype(jnp.int32)
-    v = jnp.clip(jnp.round(uv[..., 1]), 0, intr.height - 1).astype(jnp.int32)
-    d = depth[v, u]  # nearest-neighbor depth gather
-    sdf = d - p_cam[..., 2]
-    valid = (
-        in_img
-        & (d >= depth_min)
-        & (d <= depth_max)
-        & (sdf >= -vol.truncation)  # never carve behind the surface
+    return fuse_at_camera_points(
+        vol,
+        depth,
+        p_cam,
+        intr,
+        max_weight=max_weight,
+        depth_min=depth_min,
+        depth_max=depth_max,
     )
-    tsdf_obs = jnp.clip(sdf / vol.truncation, -1.0, 1.0)
-    w_old = vol.weight
-    w_obs = valid.astype(jnp.float32)
-    w_new = w_old + w_obs
-    tsdf_new = jnp.where(
-        valid, (vol.tsdf * w_old + tsdf_obs) / jnp.maximum(w_new, 1.0), vol.tsdf
-    )
-    return vol._replace(tsdf=tsdf_new, weight=jnp.minimum(w_new, max_weight))
 
 
-@partial(jax.jit, static_argnames=("intr", "warp"))
-def fuse_warped(
+def fuse_at_camera_points(
     vol: TSDFVolume,
     depth: jax.Array,
-    pose: jax.Array,
+    p_cam: jax.Array,
     intr: cam.Intrinsics,
     *,
-    warp,
     max_weight: float = 64.0,
     depth_min: float = 0.1,
     depth_max: float = 6.0,
 ) -> TSDFVolume:
-    """:func:`fuse` with a world->camera warp hook.
+    """Core fusion update given already-warped camera-space voxel centers.
 
-    ``warp(p_world (..., 3), pose) -> p_cam`` replaces the rigid transform —
-    the Integrate stage uses this to apply the (inverse, small-displacement
-    approximated) SLAC lattice correction (reference Integrate/main.cpp
-    undistorts depth through ctr.txt — SURVEY.md §3.5).
+    ``p_cam`` is ``voxel_centers(vol)`` taken through an arbitrary world ->
+    camera warp (rigid for :func:`fuse`; rigid + inverse SLAC lattice for
+    ``integrate.scene.integrate_frames_slac`` — reference Integrate/main.cpp
+    undistorts depth through ctr.txt, SURVEY.md §3.5).  Not jitted itself:
+    callers trace it inside their own jit/scan.
     """
-    p_world = voxel_centers(vol)
-    p_cam = warp(p_world, pose)
     uv, in_img = cam.project(p_cam, intr)
     u = jnp.clip(jnp.round(uv[..., 0]), 0, intr.width - 1).astype(jnp.int32)
     v = jnp.clip(jnp.round(uv[..., 1]), 0, intr.height - 1).astype(jnp.int32)

@@ -23,6 +23,14 @@ from ..core.types import PointCloud
 # scene-scale Integrate stage works on block grids, never through this path.
 _AXIS_BITS = 10
 _AXIS_CAP = (1 << _AXIS_BITS) - 1  # 1023
+_KEY_BITS = 3 * _AXIS_BITS
+_KEY_MASK = jnp.uint32((1 << _KEY_BITS) - 1)
+# Odd multiplier => k -> (k * A) mod 2^30 is a bijection on the 30-bit key
+# space, so equal keys stay equal (segments intact) while the sort order is
+# spatially scrambled.  On over-capacity overflow the dropped voxels are then
+# a pseudo-random spatial subset instead of systematically the max-key corner
+# of the cloud (which would shave one whole side off the fragment).
+_HASH_MULT = jnp.uint32(0x9E3779B1)
 _INVALID_KEY = jnp.uint32(0xFFFFFFFF)
 
 
@@ -44,13 +52,19 @@ def voxel_downsample(
     """Average points (and normals) per occupied voxel.
 
     Output is a fixed ``capacity``-row cloud; if more voxels are occupied than
-    ``capacity``, the lowest-key voxels win (deterministic).  Points outside
-    the 1023^3 key range around the cloud min-corner are dropped.
+    ``capacity``, a deterministic pseudo-random (spatially unbiased) subset of
+    voxels survives — keys are scrambled by a bijective hash before the sort,
+    so overflow never systematically drops one side of the fragment.  Points
+    outside the 1023^3 key range around the cloud min-corner are dropped.
     """
     points, normals, mask = cloud.points, cloud.normals, cloud.mask
     big = jnp.float32(1e30)
     origin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
     keys = voxel_keys(points, mask, voxel_size, origin)
+    # Bijective scramble of valid keys (30-bit domain, stays < the sentinel).
+    keys = jnp.where(
+        keys == _INVALID_KEY, keys, (keys * _HASH_MULT) & _KEY_MASK
+    )
 
     order = jnp.argsort(keys)
     skeys = keys[order]

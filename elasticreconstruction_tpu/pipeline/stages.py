@@ -397,10 +397,22 @@ def run_integrate(ds: Dataset, cfg: PipelineConfig) -> None:
     margin = 4 * cfg.scene_voxel_size
     lo -= margin
     hi += margin
-    shape = tuple(
-        int(min(cfg.scene_max_shape[a], np.ceil((hi[a] - lo[a]) / cfg.scene_voxel_size) + 1))
-        for a in range(3)
-    )
+    want = tuple(int(np.ceil((hi[a] - lo[a]) / cfg.scene_voxel_size) + 1) for a in range(3))
+    shape = tuple(int(min(cfg.scene_max_shape[a], want[a])) for a in range(3))
+    if shape != want:
+        import warnings
+
+        lost = tuple(
+            round((want[a] - shape[a]) * cfg.scene_voxel_size, 3) for a in range(3)
+        )
+        warnings.warn(
+            f"scene volume clamped from {want} to {shape} voxels "
+            f"({lost} m of extent lost per axis); raise scene_max_shape or "
+            "scene_voxel_size, or use the block-grid integrate path, to keep "
+            "full coverage",
+            stacklevel=2,
+        )
+        _log("integrate", "VOLUME CLAMPED", wanted=list(want), got=list(shape), lost_m=list(lost))
     scfg = SceneConfig(volume_shape=shape, voxel_size=cfg.scene_voxel_size, origin=tuple(lo))
     vol = tsdf_mod.make_volume(shape, cfg.scene_voxel_size, tuple(lo))
     _log("integrate", "volume", shape=list(shape), origin=[round(v, 3) for v in lo])

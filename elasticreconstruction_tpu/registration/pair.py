@@ -49,8 +49,8 @@ class RegistrationConfig(NamedTuple):
     icp_iterations: int = 30
     # ICP source stride: the GN system is 6-dof from thousands of residuals,
     # so matching every icp_src_stride-th source point (the downsample output
-    # is voxel-key sorted => spatially uniform) halves the dominant NN cost
-    # per stride step at no measurable accuracy cost.  The dst cloud stays
+    # is hash-scrambled voxel order => spatially uniform) halves the dominant
+    # NN cost per stride step at no measurable accuracy cost.  The dst stays
     # dense — it is the matching TARGET and sets the correspondence accuracy.
     icp_src_stride: int = 2
     min_inliers: int = 12

@@ -76,6 +76,23 @@ class TestVoxelDownsample:
         n_vox = len({tuple(np.floor((p - pts.min(0)) / 0.5).astype(int)) for p in pts})
         assert int(np.array(out.mask).sum()) == n_vox
 
+    def test_overflow_keeps_spatial_extent(self):
+        # 200 distinct voxels along a line, capacity 48: overflow must drop a
+        # spatially UNBIASED subset, not systematically one end of the cloud
+        # (the round-1 lowest-key-wins behavior shaved off the max-x side).
+        x = np.arange(200, dtype=np.float32) * 0.1 + 0.05
+        pts = np.stack([x, np.zeros_like(x), np.zeros_like(x)], axis=1)
+        cloud = PointCloud.from_points(pts)
+        out = voxel_grid.voxel_downsample(cloud, 0.1, capacity=48)
+        kept = np.array(out.points)[np.array(out.mask)][:, 0]
+        assert len(kept) == 48
+        extent = x.max() - x.min()
+        assert kept.min() < x.min() + 0.15 * extent
+        assert kept.max() > x.max() - 0.15 * extent
+        # Survivors spread across the whole range: every quarter is populated.
+        hist, _ = np.histogram(kept, bins=4, range=(x.min(), x.max()))
+        assert (hist > 0).all()
+
     def test_normals_averaged_and_unit(self):
         pts = np.zeros((2, 3), dtype=np.float32)
         nrm = np.array([[1.0, 0, 0], [0, 1.0, 0]], dtype=np.float32)
