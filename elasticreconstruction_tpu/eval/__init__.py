@@ -1,3 +1,3 @@
-from . import ate, registration_pr
+from . import ate, gt_benchmark, registration_pr
 
-__all__ = ["ate", "registration_pr"]
+__all__ = ["ate", "gt_benchmark", "registration_pr"]

@@ -12,14 +12,21 @@ from __future__ import annotations
 import numpy as np
 
 
-def edge_error_sq(T_est: np.ndarray, T_gt: np.ndarray, info_gt: np.ndarray, num_points: float) -> float:
+def edge_error_sq(
+    T_est: np.ndarray, T_gt: np.ndarray, info_gt: np.ndarray, num_points: float | None = None
+) -> float:
     """Mahalanobis-style mean-squared correspondence error of a proposed edge.
 
     The CVPR'15 protocol scores xi^T Lambda xi / n where xi = log-ish 6-vector
     of the relative error and Lambda is the ground-truth information matrix
     accumulated over n fragment points (so the quotient is a mean squared
-    point-displacement, comparable against a metric threshold^2).
+    point-displacement, comparable against a metric threshold^2).  When
+    ``num_points`` is None it is read from ``info_gt[0, 0]``: with
+    G = [I | -[p]x] the (0, 0) entry of sum G^T G is exactly the point count
+    (the reference's Matlab evaluation normalizes the same way).
     """
+    if num_points is None:
+        num_points = float(info_gt[0, 0])
     err = np.linalg.inv(T_gt) @ T_est
     # Small-displacement parameterization (tx, ty, tz, rx, ry, rz) matching the
     # G^T G accumulation used to build .info matrices (see registration.infomat).
@@ -34,7 +41,7 @@ def precision_recall(
     gt_edges: list[tuple[int, int, np.ndarray]],
     gt_infos: dict[tuple[int, int], np.ndarray],
     err_threshold: float = 0.2,
-    num_points: float = 1.0,
+    num_points: float | None = None,
     nonconsecutive_only: bool = True,
 ) -> dict:
     """Precision/recall of proposed registration edges vs ground truth.

@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.types import PointCloud
 
@@ -24,14 +25,16 @@ from ..core.types import PointCloud
 _AXIS_BITS = 10
 _AXIS_CAP = (1 << _AXIS_BITS) - 1  # 1023
 _KEY_BITS = 3 * _AXIS_BITS
-_KEY_MASK = jnp.uint32((1 << _KEY_BITS) - 1)
+# numpy scalars, not jnp: module import must not initialize the XLA backend
+# (multi-host bring-up calls jax.distributed.initialize after importing us).
+_KEY_MASK = np.uint32((1 << _KEY_BITS) - 1)
 # Odd multiplier => k -> (k * A) mod 2^30 is a bijection on the 30-bit key
 # space, so equal keys stay equal (segments intact) while the sort order is
 # spatially scrambled.  On over-capacity overflow the dropped voxels are then
 # a pseudo-random spatial subset instead of systematically the max-key corner
 # of the cloud (which would shave one whole side off the fragment).
-_HASH_MULT = jnp.uint32(0x9E3779B1)
-_INVALID_KEY = jnp.uint32(0xFFFFFFFF)
+_HASH_MULT = np.uint32(0x9E3779B1)
+_INVALID_KEY = np.uint32(0xFFFFFFFF)
 
 
 def voxel_keys(points: jax.Array, mask: jax.Array, voxel_size: float, origin: jax.Array) -> jax.Array:

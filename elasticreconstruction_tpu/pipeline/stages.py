@@ -475,6 +475,31 @@ def run_integrate(ds: Dataset, cfg: PipelineConfig) -> None:
 # ------------------------------------------------------------------ evaluate
 
 
+def run_make_gt_benchmark(ds: Dataset, cfg: PipelineConfig) -> None:
+    """Derive the registration gt.log/gt.info pair benchmark (reference C7).
+
+    The augmented ICL-NUIM benchmark ships these files; when running on
+    synthetic data they are derived from the gt trajectory + fragment clouds
+    (eval.gt_benchmark) and spilled next to the registration outputs so the
+    P/R evaluation reads the same file formats the reference toolbox does.
+    """
+    from ..eval import gt_benchmark as gtb
+
+    assert ds.gt_poses is not None, "dataset has no gt.log"
+    out = cfg.p_registration()
+    out.mkdir(parents=True, exist_ok=True)
+    clouds = load_fragment_clouds(cfg)
+    frag_poses = gtb.gt_fragment_poses(ds.gt_poses, cfg.frames_per_fragment, len(clouds))
+    edges, infos = gtb.make_gt_edges(
+        clouds,
+        frag_poses,
+        max_distance=cfg.registration.inlier_threshold,
+        capacity=cfg.corres_capacity_per_edge,
+    )
+    gtb.write_gt_benchmark(out, edges, infos, len(clouds))
+    _log("evaluate", "gt benchmark", gt_edges=len(edges))
+
+
 def run_evaluate(ds: Dataset, cfg: PipelineConfig) -> dict:
     traj_path = cfg.p_integrate() / "trajectory.log"
     est = io_logfmt.read_log(traj_path).matrices().astype(np.float32)
@@ -490,6 +515,26 @@ def run_evaluate(ds: Dataset, cfg: PipelineConfig) -> dict:
     }
     with open(cfg.p_integrate() / "ate.json", "w") as f:
         json.dump(metrics, f, indent=2)
+
+    # Registration precision/recall vs the gt pair benchmark (reference's
+    # Matlab registration evaluation — SURVEY.md §3.6).  Scores the raw
+    # GlobalRegistration proposals (loop.log), i.e. BEFORE line-process
+    # pruning, matching the CVPR'15 protocol (low precision is by design).
+    reg = cfg.p_registration()
+    if ds.gt_poses is not None and (reg / "loop.log").exists():
+        from ..eval import gt_benchmark as gtb
+        from ..eval import registration_pr as prmod
+
+        if not (reg / "gt.log").exists():
+            run_make_gt_benchmark(ds, cfg)
+        gt_edges, gt_infos = gtb.read_gt_benchmark(reg)
+        loop = io_logfmt.read_log(reg / "loop.log")
+        est_edges = [(e.i, e.j, e.transform) for e in loop.entries]
+        pr = prmod.precision_recall(est_edges, gt_edges, gt_infos)
+        with open(reg / "registration_pr.json", "w") as f:
+            json.dump(pr, f, indent=2)
+        metrics.update({"registration_precision": pr["precision"], "registration_recall": pr["recall"]})
+        _log("evaluate", "registration P/R", **pr)
     _log("evaluate", "done", **metrics)
     return metrics
 

@@ -120,3 +120,13 @@ def test_full_pipeline(pipeline_dirs):
     # ate.json artifact written and parses.
     saved = json.loads((out / "integrate" / "ate.json").read_text())
     assert saved["ate_rmse"] == metrics["ate_rmse"]
+
+    # Registration P/R vs the derived gt pair benchmark (reference C7's
+    # Matlab registration evaluation).  The pendulum revisits its start, so
+    # the benchmark must contain gt loop pairs and the registrar must
+    # recover a usable fraction of them.
+    pr = json.loads((out / "registration" / "registration_pr.json").read_text())
+    assert (out / "registration" / "gt.log").exists()
+    assert pr["n_gt"] >= 1, "loop trajectory produced no gt overlap pairs"
+    assert metrics["registration_recall"] > 0.3, f"recall too low: {pr}"
+    assert metrics["registration_precision"] > 0.3, f"precision too low: {pr}"
