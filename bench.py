@@ -17,6 +17,12 @@ batches back-to-back (async dispatch pipelines on-device) and syncs once, we
 run several passes, and report the MEDIAN pass throughput.  Per-phase timings
 (prep / match+RANSAC / ICP / infomat) are reported alongside.
 
+SYNC NOTE: on the tunneled TPU platform ``jax.block_until_ready`` can return
+before device completion; every timed region here therefore ends with a
+device->host READBACK of a scalar that data-depends on every queued result —
+the only sync that is guaranteed on all platforms.  The trivial-readback RTT
+is measured and reported so the per-pass overhead is auditable.
+
 ``vs_baseline`` compares against the reference's estimated per-pair cost:
 PCL FPFH+RANSAC+ICP on ~5k-point fragments is ~2 s/pair on the paper-era
 CPUs the pipeline was designed around (no throughput is published —
@@ -120,13 +126,19 @@ def _phase_timings(prepped, clouds, ii, jj, batch, cfg):
 
     icp_src = jax.tree.map(lambda x: x[:, :: cfg.icp_src_stride], fine_j)
 
+    def sync(out):
+        """Force completion: readback a scalar depending on every leaf."""
+        leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "dtype")]
+        acc = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+        return float(np.asarray(acc))
+
     def best_of(fn, *args):
         out = fn(*args)  # compile
-        jax.block_until_ready(out)
+        sync(out)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            sync(fn(*args))
             ts.append(time.perf_counter() - t0)
         return min(ts) * 1e3, out
 
@@ -176,14 +188,28 @@ def main() -> None:
         for s in range(0, total, batch)
     ]
 
+    def sync_all(results):
+        """Readback a scalar that data-depends on EVERY result in the pass
+        (block_until_ready is not a reliable sync on the tunneled platform)."""
+        acc = sum(jnp.sum(r.fitness) + jnp.sum(r.transform) for r in results)
+        return float(np.asarray(acc))
+
+    # Trivial-readback RTT (reported; passes are seconds, so it is noise).
+    trivial = jax.jit(lambda x: x + 1.0)
+    float(np.asarray(trivial(jnp.float32(0.0))))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(np.asarray(trivial(jnp.float32(0.0))))
+    rtt_ms = (time.perf_counter() - t0) / 5 * 1e3
+
     # Warm-up / compile both computations.
     prepped = prep_fragments_batch(clouds, cfg)
     res = register_prepped_batch(prepped, bii[0], bjj[0], bkeys[0], cfg)
-    jax.block_until_ready(res)
+    sync_all([res])
 
     # Measured passes: queue every batch (async dispatch pipelines on-device),
-    # sync once per pass.  Median pass throughput is the headline number —
-    # robust to tunnel/dispatch latency jitter on the remote chip.
+    # one readback sync per pass.  Median pass throughput is the headline
+    # number — robust to tunnel/dispatch latency jitter on the remote chip.
     rates, results = [], None
     for _ in range(passes):
         t0 = time.perf_counter()
@@ -192,7 +218,7 @@ def main() -> None:
             register_prepped_batch(prepped, bi, bj, bk, cfg)
             for bi, bj, bk in zip(bii, bjj, bkeys)
         ]
-        jax.block_until_ready(results)
+        sync_all(results)
         rates.append(total / (time.perf_counter() - t0))
     pairs_per_second = statistics.median(rates)
 
@@ -216,6 +242,7 @@ def main() -> None:
                 "pairs_timed": total,
                 "passes": passes,
                 "pass_rates": [round(r, 2) for r in rates],
+                "readback_rtt_ms": round(rtt_ms, 2),
                 "success_rate_adjacent": float(adj.mean()) if len(adj) else None,
                 "phase_ms_per_batch": phases,
             }

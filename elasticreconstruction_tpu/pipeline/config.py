@@ -30,9 +30,11 @@ class PipelineConfig:
     slac_mode: str = "slac"  # rigid | slac | nonrigid | none
     corres_max_distance: float = 0.03
     corres_capacity_per_edge: int = 4096
-    # Integration
+    # Integration.  Scenes needing more than scene_max_shape voxels are tiled
+    # into overlapping blocks of that shape (integrate.blocks) — never clamped.
     scene_voxel_size: float = 0.015
     scene_max_shape: tuple[int, int, int] = (448, 256, 448)
+    scene_block_overlap: int = 4
     mesh_capacity_per_slab: int = 1 << 15
     # Registration batching
     registration_batch: int = 8

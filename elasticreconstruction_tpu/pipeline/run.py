@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["full", "fast"],
         help="fast = reduced capacities/hypotheses for quick previews & CI",
     )
+    p.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the stage into DIR (one "
+        "trace directory per stage run; open with TensorBoard/xprof)",
+    )
+    p.add_argument("--odometry-only", action="store_true", help="register: skip loop candidates (BASELINE config 2)")
     # synth options
     p.add_argument("--num-frames", type=int, default=200)
     p.add_argument("--depth-noise", type=float, default=0.0)
@@ -122,20 +130,33 @@ def main(argv=None) -> int:
     cfg = config_from_args(args)
     needs_ds = args.stage in ("fragments", "integrate", "evaluate", "all")
     ds = Dataset(args.data) if needs_ds else None
-    if args.stage == "fragments":
-        run_fragments(ds, cfg)
-    elif args.stage == "register":
-        run_registration(cfg)
-    elif args.stage == "posegraph":
-        run_posegraph(cfg)
-    elif args.stage == "optimize":
-        run_optimize(cfg, spill_corres=args.spill_corres)
-    elif args.stage == "integrate":
-        run_integrate(ds, cfg)
-    elif args.stage == "evaluate":
-        run_evaluate(ds, cfg)
-    elif args.stage == "all":
-        run_all(ds, cfg)
+
+    import contextlib
+
+    if args.profile:
+        import jax
+
+        trace_ctx = jax.profiler.trace(f"{args.profile}/{args.stage}")
+    else:
+        trace_ctx = contextlib.nullcontext()
+
+    with trace_ctx:
+        if args.stage == "fragments":
+            run_fragments(ds, cfg)
+        elif args.stage == "register":
+            run_registration(cfg, all_pairs=not args.odometry_only)
+        elif args.stage == "posegraph":
+            run_posegraph(cfg)
+        elif args.stage == "optimize":
+            run_optimize(cfg, spill_corres=args.spill_corres)
+        elif args.stage == "integrate":
+            run_integrate(ds, cfg)
+        elif args.stage == "evaluate":
+            run_evaluate(ds, cfg)
+        elif args.stage == "all":
+            run_all(ds, cfg)
+    if args.profile:
+        print(f"profiler trace written under {args.profile}/{args.stage}")
     return 0
 
 

@@ -107,7 +107,12 @@ def load_fragment_clouds(cfg: PipelineConfig) -> list[PointCloud]:
 # ------------------------------------------------------------- registration
 
 
-def run_registration(cfg: PipelineConfig) -> None:
+def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> None:
+    """Odometry-edge refinement + (optionally) all-pairs loop candidates.
+
+    ``all_pairs=False`` is BASELINE config 2 (odometry chain only): loop.log
+    and loop.info are written empty so downstream stages run unchanged.
+    """
     out = cfg.p_registration()
     out.mkdir(parents=True, exist_ok=True)
     clouds = load_fragment_clouds(cfg)
@@ -182,12 +187,13 @@ def run_registration(cfg: PipelineConfig) -> None:
     # clouds inside every pair job.
     from ..registration import prep_fragments_batch, register_prepped_batch
 
-    pairs = [(i, j) for i in range(nf) for j in range(i + 2, nf)]
+    pairs = [(i, j) for i in range(nf) for j in range(i + 2, nf)] if all_pairs else []
     results = []
     B = cfg.registration_batch
     key = jax.random.PRNGKey(cfg.seed)
-    all_clouds = jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
-    prepped = prep_fragments_batch(all_clouds, cfg.registration)
+    if pairs:
+        all_clouds = jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
+        prepped = prep_fragments_batch(all_clouds, cfg.registration)
     for s in range(0, len(pairs), B):
         chunk = pairs[s : s + B]
         pad = B - len(chunk)
@@ -377,45 +383,51 @@ def _frame_world_poses(cfg: PipelineConfig):
 
 
 def run_integrate(ds: Dataset, cfg: PipelineConfig) -> None:
+    """Scene TSDF integration + meshing over a block-grid volume.
+
+    Scenes larger than ``scene_max_shape`` are tiled into overlapping blocks
+    (integrate.blocks) instead of being clamped: each block fuses only the
+    frames whose fragment surface intersects it, meshes are extracted per
+    block, and owned-region filtering stitches them seamlessly (reference:
+    kinfu_largeScale's shifting volume — SURVEY.md §1 L6).
+    """
+    from ..integrate import blocks as blocks_mod
+
     out = cfg.p_integrate()
     out.mkdir(parents=True, exist_ok=True)
     frame_poses, fidx, local_poses, bases = _frame_world_poses(cfg)
     n = min(len(ds), len(frame_poses))
     intr = ds.intrinsics
 
-    # Volume bounds from the posed fragment clouds.
+    # Volume bounds: global + per-fragment (for per-block frame culling).
     clouds = load_fragment_clouds(cfg)
-    lo = np.full(3, np.inf)
-    hi = np.full(3, -np.inf)
+    frag_lo = np.full((len(clouds), 3), np.inf)
+    frag_hi = np.full((len(clouds), 3), -np.inf)
     for f, c in enumerate(clouds):
         m = np.array(c.mask)
         if not m.any():
             continue
         w = np.array(se3.apply(jnp.asarray(bases[f]), c.points))[m]
-        lo = np.minimum(lo, w.min(0))
-        hi = np.maximum(hi, w.max(0))
+        frag_lo[f] = w.min(0)
+        frag_hi[f] = w.max(0)
     margin = 4 * cfg.scene_voxel_size
-    lo -= margin
-    hi += margin
+    lo = frag_lo.min(0) - margin
+    hi = frag_hi.max(0) + margin
     want = tuple(int(np.ceil((hi[a] - lo[a]) / cfg.scene_voxel_size) + 1) for a in range(3))
-    shape = tuple(int(min(cfg.scene_max_shape[a], want[a])) for a in range(3))
-    if shape != want:
-        import warnings
-
-        lost = tuple(
-            round((want[a] - shape[a]) * cfg.scene_voxel_size, 3) for a in range(3)
-        )
-        warnings.warn(
-            f"scene volume clamped from {want} to {shape} voxels "
-            f"({lost} m of extent lost per axis); raise scene_max_shape or "
-            "scene_voxel_size, or use the block-grid integrate path, to keep "
-            "full coverage",
-            stacklevel=2,
-        )
-        _log("integrate", "VOLUME CLAMPED", wanted=list(want), got=list(shape), lost_m=list(lost))
-    scfg = SceneConfig(volume_shape=shape, voxel_size=cfg.scene_voxel_size, origin=tuple(lo))
-    vol = tsdf_mod.make_volume(shape, cfg.scene_voxel_size, tuple(lo))
-    _log("integrate", "volume", shape=list(shape), origin=[round(v, 3) for v in lo])
+    plan = blocks_mod.plan_blocks(
+        want, cfg.scene_max_shape, overlap=cfg.scene_block_overlap
+    )
+    scfg = SceneConfig(
+        volume_shape=plan.tile_shape, voxel_size=cfg.scene_voxel_size, origin=tuple(lo)
+    )
+    _log(
+        "integrate",
+        "volume plan",
+        wanted=list(want),
+        tile=list(plan.tile_shape),
+        blocks=len(plan.blocks),
+        origin=[round(v, 3) for v in lo],
+    )
 
     # Lattice correction if the optimizer produced one.
     slac_dir = cfg.p_slac()
@@ -440,30 +452,81 @@ def run_integrate(ds: Dataset, cfg: PipelineConfig) -> None:
                 ds_.append(pos - rest)
             disp_per_frag = np.stack(ds_).astype(np.float32)
 
-    t0 = time.time()
-    chunk = 16
-    for s in range(0, n, chunk):
-        depths = jnp.asarray(ds.depth_chunk(s, min(chunk, n - s)))
+    def fuse_frames(vol, start, count):
+        """Fuse contiguous frames [start, start+count) into vol."""
+        depths = jnp.asarray(ds.depth_chunk(start, count))
         c = depths.shape[0]
         if use_lattice:
-            vol = integrate_frames_slac(
+            return integrate_frames_slac(
                 vol,
                 depths,
-                jnp.asarray(np.stack([bases[fidx[s + k]] for k in range(c)])),
-                jnp.asarray(local_poses[s : s + c]),
-                jnp.asarray(np.stack([disp_per_frag[fidx[s + k]] for k in range(c)])),
+                jnp.asarray(np.stack([bases[fidx[start + k]] for k in range(c)])),
+                jnp.asarray(local_poses[start : start + c]),
+                jnp.asarray(np.stack([disp_per_frag[fidx[start + k]] for k in range(c)])),
                 lat,
                 intr,
                 scfg,
             )
-        else:
-            vol = integrate_frames(vol, depths, jnp.asarray(frame_poses[s : s + c]), intr, scfg)
-    jax.block_until_ready(vol.tsdf)
-    fps = n / max(time.time() - t0, 1e-9)
-    _log("integrate", "fused", frames=n, frames_per_second=round(fps, 2))
+        return integrate_frames(
+            vol, depths, jnp.asarray(frame_poses[start : start + c]), intr, scfg
+        )
 
-    tris, mask = extract_mesh(vol, capacity_per_slab=cfg.mesh_capacity_per_slab)
-    v, f = mesh_mod.weld_mesh(tris, mask)
+    t0 = time.time()
+    chunk = 16
+    multi = len(plan.blocks) > 1
+    frame_lo = frag_lo[fidx[:n]]
+    frame_hi = frag_hi[fidx[:n]]
+    soup = []
+    frames_fused = 0
+    for blk in plan.blocks:
+        vol = tsdf_mod.make_volume(
+            plan.tile_shape, cfg.scene_voxel_size, blk.world_origin(lo, cfg.scene_voxel_size)
+        )
+        if multi:
+            sel = blocks_mod.cull_frames(
+                blk, plan, lo, cfg.scene_voxel_size, frame_lo, frame_hi, margin=0.5
+            )
+        else:
+            sel = np.ones(n, bool)
+        idxs = np.nonzero(sel)[0]
+        # Fuse contiguous runs of selected frames in jitted chunks.
+        run_start = None
+        runs = []
+        for k in idxs:
+            if run_start is None:
+                run_start, prev = int(k), int(k)
+            elif k == prev + 1:
+                prev = int(k)
+            else:
+                runs.append((run_start, prev + 1))
+                run_start, prev = int(k), int(k)
+        if run_start is not None:
+            runs.append((run_start, prev + 1))
+        for a, b2 in runs:
+            for s in range(a, b2, chunk):
+                vol = fuse_frames(vol, s, min(chunk, b2 - s))
+        frames_fused += len(idxs)
+        tris, mask = extract_mesh(vol, capacity_per_slab=cfg.mesh_capacity_per_slab)
+        if multi:
+            t_np, m_np = blocks_mod.filter_owned_triangles(
+                np.array(tris), np.array(mask), blk, plan, lo, cfg.scene_voxel_size
+            )
+            soup.append(t_np)
+            _log(
+                "integrate",
+                "block",
+                index=list(blk.index),
+                frames=len(idxs),
+                triangles=int(m_np.sum()),
+            )
+        else:
+            t_np = np.asarray(tris).reshape(-1, 3, 3)[np.asarray(mask).reshape(-1)]
+            soup.append(t_np)
+    fps = frames_fused / max(time.time() - t0, 1e-9)
+    _log("integrate", "fused", frames=n, frame_fusions=frames_fused, frames_per_second=round(fps, 2))
+
+    all_tris = np.concatenate(soup, axis=0) if soup else np.zeros((0, 3, 3), np.float32)
+    v, f = mesh_mod.weld_mesh(all_tris, np.ones(len(all_tris), bool))
     io_logfmt.write_ply_mesh(out / "mesh.ply", v, f)
     io_logfmt.write_log(
         out / "trajectory.log",
@@ -489,6 +552,15 @@ def run_make_gt_benchmark(ds: Dataset, cfg: PipelineConfig) -> None:
     out = cfg.p_registration()
     out.mkdir(parents=True, exist_ok=True)
     clouds = load_fragment_clouds(cfg)
+    # Overlap testing only needs registration-scale resolution; full
+    # production clouds (131k points) would make the O(F^2) NN sweep here
+    # dominate the whole evaluation.
+    from ..kernels import voxel_grid as _voxel
+
+    rcfg = cfg.registration
+    clouds = [
+        _voxel.voxel_downsample(c, rcfg.icp_voxel_size, rcfg.fine_capacity) for c in clouds
+    ]
     frag_poses = gtb.gt_fragment_poses(ds.gt_poses, cfg.frames_per_fragment, len(clouds))
     edges, infos = gtb.make_gt_edges(
         clouds,

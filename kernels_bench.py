@@ -1,0 +1,432 @@
+"""Per-kernel speed-of-light microbench -> kernels_bench.json.
+
+BASELINE.md's north star requires the hot kernels (ICP correspondence/NN,
+TSDF fuse, raycast, FPFH) at speed-of-light per chip.  This script times each
+kernel at production shapes and scores it against an analytic roofline built
+from MEASURED device peaks (not spec-sheet numbers).
+
+Timing methodology — IMPORTANT: on the tunneled TPU platform used here,
+``jax.block_until_ready`` returns without waiting for device completion; only
+a device->host READBACK truly synchronizes.  Every measurement therefore (a)
+iterates the kernel K times INSIDE one jitted scan (inputs perturbed per
+step and outputs reduced into the carry, so nothing can be CSE'd or skipped),
+and (b) is timed around a scalar readback.  One host round-trip is amortized
+over K device iterations; the trivial-readback RTT is measured and reported.
+
+Measured peaks:
+- ``peak_bw``        streaming HBM bandwidth (chained elementwise over 1 GiB)
+- ``peak_mxu_f32``   f32 matmul ("highest" precision, the package default)
+- ``peak_mxu_bf16``  bf16 matmul (the chip's headline mode)
+- ``peak_vpu``       f32 FMA rate (Pallas, 256 serial FMAs per element in VMEM)
+- ``peak_gather``    random 32-bit gather rate from a 64 MB HBM table
+
+Each kernel entry reports measured time, the per-resource cost model
+(hbm bytes / vpu ops / mxu flops / gathers), the roofline time
+sol_ms = max_r(cost_r / peak_r), and achieved = sol_ms / time_ms.  VPU op
+counts per element are engineering estimates of the fused epilogues (marked).
+
+Run on the real chip:  python kernels_bench.py   (writes kernels_bench.json)
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import time
+from functools import partial
+
+import numpy as np
+
+_RTT_MS = [0.0]  # measured trivial-readback round trip, subtracted per call
+
+
+def _readback(x):
+    import jax.numpy as jnp
+
+    return float(np.array(jnp.sum(x).astype(jnp.float32)))
+
+
+def _time_scan(jit_fn, args, k_iters, reps=3):
+    """Median per-iteration ms of a jitted K-iteration scan, readback-timed."""
+    _readback(jit_fn(*args))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _readback(jit_fn(*args))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    dt = max(statistics.median(ts) - _RTT_MS[0], 1e-6)
+    return dt / k_iters
+
+
+def measure_rtt():
+    import jax
+    import jax.numpy as jnp
+
+    one = jnp.float32(1.0)
+    f = jax.jit(lambda x: x + 1.0)
+    _readback(f(one))
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _readback(f(one))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    _RTT_MS[0] = statistics.median(ts)
+    return _RTT_MS[0]
+
+
+def _progress(msg):
+    print(json.dumps({"kernels_bench": msg}), flush=True)
+
+
+def calibrate():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    peaks = {}
+    # Big calibration arrays are generated ON DEVICE (host->device transfers
+    # of GiB-scale data crawl through the TPU tunnel).
+    key = jax.random.PRNGKey(0)
+
+    # Streaming HBM bandwidth: chained map over 1 GiB, K passes in one jit.
+    _progress("calibrate: bandwidth")
+    n, K = 1 << 28, 16
+    x = jax.jit(lambda k: jax.random.uniform(k, (n,), jnp.float32))(key)
+
+    @jax.jit
+    def bw(x):
+        def body(c, _):
+            return c * 1.0000001 + 1e-7, ()
+
+        c, _ = jax.lax.scan(body, x, None, length=K)
+        return c[::(1 << 20)]  # tiny readback slice
+
+    dt = _time_scan(bw, (x,), K)
+    peaks["peak_bw_gbs"] = 2 * n * 4 / (dt * 1e-3) / 1e9
+
+    # MXU peaks: chained matmuls (each consumes the previous output).
+    _progress("calibrate: mxu")
+    m, K = 4096, 32
+    a32 = jax.jit(lambda k: jax.random.uniform(k, (m, m), jnp.float32) * 1e-3)(key)
+
+    @jax.jit
+    def mm32(a):
+        def body(c, _):
+            return (c @ a) * 1e-3, ()
+
+        c, _ = jax.lax.scan(body, a, None, length=K)
+        return c[0, :8]
+
+    dt = _time_scan(mm32, (a32,), K)
+    peaks["peak_mxu_f32_tflops"] = 2 * m**3 / (dt * 1e-3) / 1e12
+
+    a16 = jax.jit(lambda a: a.astype(jnp.bfloat16))(a32)
+
+    @jax.jit
+    def mm16(a):
+        def body(c, _):
+            o = jax.lax.dot(
+                c, a, precision=jax.lax.Precision.DEFAULT, preferred_element_type=jnp.float32
+            )
+            return (o * 1e-3).astype(jnp.bfloat16), ()
+
+        c, _ = jax.lax.scan(body, a, None, length=K)
+        return c[0, :8].astype(jnp.float32)
+
+    dt = _time_scan(mm16, (a16,), K)
+    peaks["peak_mxu_bf16_tflops"] = 2 * m**3 / (dt * 1e-3) / 1e12
+
+    # VPU f32 FMA rate: 256 serial FMAs per element on VMEM blocks, x8 outer.
+    _progress("calibrate: vpu")
+    ITERS, BQ, BL, GRID, K = 256, 256, 1024, 64, 8
+
+    def fma_kernel(x_ref, o_ref):
+        def body(_, acc):
+            return acc * 1.0000001 + 1e-7
+
+        o_ref[:] = jax.lax.fori_loop(0, ITERS, body, x_ref[:])
+
+    pc = lambda v: pl.pallas_call(
+        fma_kernel,
+        grid=(GRID,),
+        in_specs=[pl.BlockSpec((BQ, BL), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BQ, BL), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((GRID * BQ, BL), jnp.float32),
+    )(v)
+    xb = jax.jit(lambda k: jax.random.uniform(k, (GRID * BQ, BL), jnp.float32))(key)
+
+    @jax.jit
+    def vpu(x):
+        def body(c, _):
+            return pc(c), ()
+
+        c, _ = jax.lax.scan(body, x, None, length=K)
+        return c[0, :8]
+
+    dt = _time_scan(vpu, (xb,), K * ITERS)  # per-FMA-pass time
+    peaks["peak_vpu_tflops"] = 2 * GRID * BQ * BL / (dt * 1e-3) / 1e12
+
+    # Random 32-bit gather rate from a 64 MB table.
+    _progress("calibrate: gather")
+    NG, K = 1 << 23, 16
+    table = jax.jit(lambda k: jax.random.uniform(k, (1 << 24,), jnp.float32))(key)
+    idx = jax.jit(
+        lambda k: jax.random.randint(k, (NG,), 0, 1 << 24, jnp.int32)
+    )(key)
+
+    @jax.jit
+    def gather(t, i):
+        def body(c, k):
+            g = t[(i + k) & ((1 << 24) - 1)]
+            return c + g[:: (1 << 18)], ()
+
+        c, _ = jax.lax.scan(
+            body, jnp.zeros(NG >> 18, jnp.float32), jnp.arange(K, dtype=jnp.int32)
+        )
+        return c
+
+    dt = _time_scan(gather, (table, idx), K)
+    peaks["peak_gather_geps"] = NG / (dt * 1e-3) / 1e9
+    return peaks
+
+
+def _sol(entry, peaks):
+    model = entry["model"]
+    times = {
+        "hbm_ms": model.get("hbm_bytes", 0) / (peaks["peak_bw_gbs"] * 1e9) * 1e3,
+        "vpu_ms": model.get("vpu_ops", 0) / (peaks["peak_vpu_tflops"] * 1e12) * 1e3,
+        "mxu_ms": model.get("mxu_flops", 0) / (peaks["peak_mxu_f32_tflops"] * 1e12) * 1e3,
+        "gather_ms": model.get("gathers", 0) / (peaks["peak_gather_geps"] * 1e9) * 1e3,
+    }
+    entry["sol_breakdown_ms"] = {k: round(v, 4) for k, v in times.items()}
+    entry["sol_ms"] = round(max(times.values()), 4)
+    entry["bound_by"] = max(times, key=times.get).replace("_ms", "")
+    entry["achieved_frac"] = round(entry["sol_ms"] / entry["time_ms"], 3) if entry["time_ms"] else 0.0
+    return entry
+
+
+def bench_kernels(peaks):
+    import jax
+    import jax.numpy as jnp
+
+    from elasticreconstruction_tpu.core import camera as cam
+    from elasticreconstruction_tpu.core.types import PointCloud
+    from elasticreconstruction_tpu.kernels import fpfh as _fpfh
+    from elasticreconstruction_tpu.kernels import raycast as _raycast
+    from elasticreconstruction_tpu.kernels import tsdf as _tsdf
+    from elasticreconstruction_tpu.kernels import voxel_grid as _voxel
+    from elasticreconstruction_tpu.kernels.pallas import icp_step as _picp
+    from elasticreconstruction_tpu.kernels.pallas import nn as _pnn
+
+    rng = np.random.default_rng(0)
+    entries = []
+
+    def scanned(fn, reduce_fn, K):
+        """jit(scan_k fn(args perturbed by k) -> reduce into carry)."""
+
+        @jax.jit
+        def run(*args):
+            def body(c, k):
+                out = fn(k, *args)
+                return c + reduce_fn(out), ()
+
+            c, _ = jax.lax.scan(
+                body, jnp.float32(0.0), jnp.arange(K, dtype=jnp.int32)
+            )
+            return c
+
+        return run
+
+    _progress("kernel: pallas_nn")
+    # ---- Pallas fused NN (ICP correspondence query), production shape ------
+    B, NQ, NR = 16, 4096, 8192
+    q = jnp.asarray(rng.uniform(-1.5, 1.5, (B, NQ, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(-1.5, 1.5, (B, NR, 3)).astype(np.float32))
+    msk = jnp.ones((B, NR), bool)
+    K = 32
+    run = scanned(
+        lambda k, q, r, m: _pnn.nearest_batch(
+            q + k.astype(jnp.float32) * 1e-6, r, m, block_q=1024, block_r=4096
+        ),
+        lambda out: jnp.sum(out[0][:, ::512]) + jnp.sum(out[1][:, ::512]).astype(jnp.float32),
+        K,
+    )
+    dt = _time_scan(run, (q, r, msk), K)
+    el = B * NQ * NR
+    entries.append(_sol({
+        "kernel": "pallas_nn.nearest_batch",
+        "shape": f"B={B} NQ={NQ} NR={NR}",
+        "time_ms": round(dt, 3),
+        "gpairs_per_s": round(el / (dt * 1e-3) / 1e9, 2),
+        "model": {
+            "hbm_bytes": B * (NQ * 12 + NR * 16 + NQ * 8),
+            "vpu_ops": el * 8,       # d2 epilogue + running min/argmin (est.)
+            "mxu_flops": el * 6,     # K=3 cross-term matmul
+        },
+        "model_note": "VPU 8 ops/pair is an estimate of the fused epilogue",
+    }, peaks))
+
+    _progress("kernel: pallas_icp")
+    # ---- Pallas fused ICP normal equations ---------------------------------
+    dnrm = jnp.asarray(rng.normal(size=(B, NR, 3)).astype(np.float32))
+    dnrm = dnrm / jnp.linalg.norm(dnrm, axis=-1, keepdims=True)
+    w = jnp.ones((B, NQ), jnp.float32)
+    K = 32
+    run = scanned(
+        lambda k, q, w, r, n, m: _picp.normal_eqs_batch(
+            q + k.astype(jnp.float32) * 1e-6, w, r, n, m,
+            max_dist=0.075, block_q=1024, block_r=1024,
+        ),
+        lambda out: jnp.sum(out[0]) + jnp.sum(out[1]) + jnp.sum(out[2]),
+        K,
+    )
+    dt = _time_scan(run, (q, w, r, dnrm, msk), K)
+    entries.append(_sol({
+        "kernel": "pallas_icp.normal_eqs_batch",
+        "shape": f"B={B} NQ={NQ} NR={NR}",
+        "time_ms": round(dt, 3),
+        "model": {
+            "hbm_bytes": B * (NQ * 16 + NR * 32),
+            "vpu_ops": el * 12,      # d2 + one-hot build + min tracking (est.)
+            "mxu_flops": el * (6 + 12),  # K=3 distances + two one-hot gathers
+        },
+        "model_note": "one-hot gathers counted as MXU work (indicator matmuls)",
+    }, peaks))
+
+    _progress("kernel: tsdf_fuse")
+    # ---- TSDF fuse: the volume is the scan carry (the real workload) -------
+    intr = cam.Intrinsics(fx=525.0, fy=525.0, cx=319.5, cy=239.5, width=640, height=480)
+    depth = jnp.asarray(
+        (2.0 + 0.5 * rng.standard_normal((480, 640))).clip(0.5, 5.0).astype(np.float32)
+    )
+    pose = jnp.eye(4)
+    K = 64
+    for name, shape, vs in (("fragment", (256, 256, 256), 0.012), ("scene", (448, 256, 448), 0.015)):
+        vol = _tsdf.make_volume(shape, vs, (-1.5, -1.5, 0.3))
+
+        @jax.jit
+        def fuse_k(vol, depth, pose):
+            def body(v, k):
+                return _tsdf.fuse(v, depth + k.astype(jnp.float32) * 1e-6, pose, intr), ()
+
+            v, _ = jax.lax.scan(body, vol, jnp.arange(K, dtype=jnp.int32))
+            return v.tsdf[::64, ::64, ::64]
+
+        dt = _time_scan(fuse_k, (vol, depth, pose), K)
+        nvox = int(np.prod(shape))
+        entries.append(_sol({
+            "kernel": f"tsdf.fuse[{name}]",
+            "shape": f"{shape} vox, 640x480 depth",
+            "time_ms": round(dt, 3),
+            "gvoxels_per_s": round(nvox / (dt * 1e-3) / 1e9, 2),
+            "model": {
+                "hbm_bytes": nvox * 16,  # read+write tsdf & weight
+                "vpu_ops": nvox * 25,    # project + update epilogue (est.)
+                "gathers": nvox,         # depth lookup
+            },
+        }, peaks))
+
+    _progress("kernel: raycast")
+    # ---- Raycast (frame-to-model odometry view) -----------------------------
+    vol = _tsdf.make_volume((256, 256, 256), 0.012, (-1.5, -1.5, 0.3))
+    vol = _tsdf.fuse(vol, depth, pose, intr)
+    K = 8
+    run = scanned(
+        lambda k, vol, pose: _raycast.raycast(
+            vol, pose.at[0, 3].add(k.astype(jnp.float32) * 1e-6), intr, num_steps=192
+        ),
+        lambda out: jnp.sum(out.vertices[::32, ::32]) + jnp.sum(out.valid[::32, ::32]),
+        K,
+    )
+    dt = _time_scan(run, (vol, pose), K)
+    nray = intr.width * intr.height
+    entries.append(_sol({
+        "kernel": "raycast.raycast",
+        "shape": "640x480 rays x 192 steps, 256^3 vol",
+        "time_ms": round(dt, 3),
+        "mrays_per_s": round(nray / (dt * 1e-3) / 1e6, 2),
+        "model": {
+            "vpu_ops": nray * 192 * 40,   # trilinear weights + crossing logic (est.)
+            "gathers": nray * 192 * 16,   # 8 tsdf + 8 weight samples per step
+        },
+        "model_note": "gather-dominated; 16 random 32-bit loads per step",
+    }, peaks))
+
+    _progress("kernel: fpfh")
+    # ---- FPFH at registration coarse scale ----------------------------------
+    pts = rng.uniform(-1.5, 1.5, (4096, 3)).astype(np.float32)
+    nrm = rng.normal(size=(4096, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    cloud = PointCloud.from_points(jnp.asarray(pts), jnp.asarray(nrm))
+    K = 16
+    run = scanned(
+        lambda k, c: _fpfh.fpfh_radius(
+            PointCloud(c.points + k.astype(jnp.float32) * 1e-6, c.normals, c.mask), 0.25
+        ),
+        lambda out: jnp.sum(out[::64]),
+        K,
+    )
+    dt = _time_scan(run, (cloud,), K)
+    n2 = 4096 * 4096
+    entries.append(_sol({
+        "kernel": "fpfh.fpfh_radius",
+        "shape": "N=4096, radius 0.25",
+        "time_ms": round(dt, 3),
+        "model": {
+            "vpu_ops": n2 * 120,         # pair features + 33 bin reduces (est.)
+            "mxu_flops": n2 * (12 + 66), # two d2 passes + SPFH mix matmul
+        },
+    }, peaks))
+
+    _progress("kernel: voxel_downsample")
+    # ---- Voxel-grid downsample (sort-bound; no tight roofline) --------------
+    big = PointCloud.from_points(
+        jnp.asarray(rng.uniform(-1.5, 1.5, (131072, 3)).astype(np.float32))
+    )
+    K = 16
+    run = scanned(
+        lambda k, c: _voxel.voxel_downsample(
+            PointCloud(c.points + k.astype(jnp.float32) * 1e-6, c.normals, c.mask), 0.05, 8192
+        ),
+        lambda out: jnp.sum(out.points[::256]) + jnp.sum(out.mask[::256]),
+        K,
+    )
+    dt = _time_scan(run, (big,), K)
+    entries.append({
+        "kernel": "voxel_grid.voxel_downsample",
+        "shape": "131072 -> 8192",
+        "time_ms": round(dt, 3),
+        "mpoints_per_s": round(131072 / (dt * 1e-3) / 1e6, 2),
+        "model": {},
+        "note": "sort-bound (radix over 30-bit keys); no analytic roofline",
+    })
+
+    return entries
+
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    rtt = measure_rtt()
+    peaks = calibrate()
+    entries = bench_kernels(peaks)
+    out = {
+        "platform": dev.platform,
+        "device_kind": dev.device_kind,
+        "readback_rtt_ms": round(rtt, 3),
+        "timing_note": (
+            "block_until_ready does not synchronize on the tunneled platform; "
+            "all timings are K-iteration in-jit scans bounded by scalar readbacks"
+        ),
+        "calibration": {k: round(v, 2) for k, v in peaks.items()},
+        "kernels": entries,
+    }
+    with open("kernels_bench.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

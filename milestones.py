@@ -1,0 +1,145 @@
+"""BASELINE.md milestone-config ladder on livingroom-scale synthetic data.
+
+The augmented ICL-NUIM dataset is absent from this environment (zero egress),
+so the ladder runs on the synthetic livingroom stand-in at the REFERENCE's
+production scale: 2550 frames (51 fragments x k=50), 320x240 depth with 1%
+multiplicative noise, full-orbit loop-closing trajectory.
+
+Configs (BASELINE.md):
+  2. 10-fragment odometry chain + pose graph (no loop closures) + integrate
+  3. full sequence: all-pairs registration, line-process pruning, integrate,
+     ATE vs gt + registration P/R vs the derived gt pair benchmark
+  4. config 3 + FragmentOptimizer (slac and nonrigid modes)
+
+Writes milestones.json incrementally (each milestone lands as it finishes).
+Run on the TPU:  python milestones.py [--frames N] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from dataclasses import replace
+from pathlib import Path
+
+
+def _write(results: dict, path: Path) -> None:
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({"milestone_update": list(results.keys())}), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2550)
+    ap.add_argument("--out", default="milestone_runs")
+    ap.add_argument("--noise", type=float, default=0.01)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from elasticreconstruction_tpu.core import camera as cam
+    from elasticreconstruction_tpu.core import io_logfmt
+    from elasticreconstruction_tpu.pipeline import stages
+    from elasticreconstruction_tpu.pipeline.config import PipelineConfig
+    from elasticreconstruction_tpu.pipeline.dataset import Dataset, generate_synthetic
+
+    root = Path(args.out)
+    root.mkdir(parents=True, exist_ok=True)
+    results_path = Path("milestones.json")
+    results: dict = {"frames": args.frames, "noise": args.noise}
+
+    # ---- dataset at reference scale -----------------------------------------
+    intr = cam.Intrinsics(fx=262.5, fy=262.5, cx=159.5, cy=119.5, width=320, height=240)
+    data = root / "data"
+    t0 = time.time()
+    if not (data / "gt.log").exists() or len(list((data / "depth").glob("*.png"))) < args.frames:
+        print(json.dumps({"stage": "generate", "frames": args.frames}), flush=True)
+        generate_synthetic(
+            data,
+            num_frames=args.frames,
+            intr=intr,
+            scene="livingroom",
+            trajectory="orbit",
+            radius=1.1,
+            height=1.3,
+            sweep=2.0 * np.pi,  # closes the loop at the end
+            seed=0,
+            depth_noise=args.noise,
+        )
+    ds = Dataset(data)
+    results["generate_seconds"] = round(time.time() - t0, 1)
+    _write(results, results_path)
+
+    base_cfg = PipelineConfig(
+        data_dir=str(data),
+        out_dir=str(root / "out_full"),
+        frames_per_fragment=50,
+        slac_mode="none",
+        scene_voxel_size=0.02,
+        registration_batch=16,
+    )
+
+    # ---- config 2: 10-fragment odometry chain (no loop closures) ------------
+    t0 = time.time()
+    sub = root / "data_m2"
+    (sub / "depth").mkdir(parents=True, exist_ok=True)
+    n2 = 10 * base_cfg.frames_per_fragment + 1
+    for k, p in enumerate(ds.depth_paths[:n2]):
+        dst = sub / "depth" / p.name
+        if not dst.exists():
+            dst.symlink_to(p.resolve())
+    (sub / "intrinsics.json").write_text((data / "intrinsics.json").read_text())
+    io_logfmt.write_log(
+        sub / "gt.log", io_logfmt.Trajectory.from_matrices(ds.gt_poses[:n2].astype(np.float64))
+    )
+    ds2 = Dataset(sub)
+    cfg2 = replace(base_cfg, data_dir=str(sub), out_dir=str(root / "out_m2"))
+    stages.run_fragments(ds2, cfg2)
+    stages.run_registration(cfg2, all_pairs=False)
+    stages.run_posegraph(cfg2)
+    stages.run_optimize(cfg2)
+    stages.run_integrate(ds2, cfg2)
+    m = stages.run_evaluate(ds2, cfg2)
+    results["config2_odometry_chain"] = {**m, "seconds": round(time.time() - t0, 1)}
+    _write(results, results_path)
+
+    # ---- config 3: full pipeline, rigid pose graph only ----------------------
+    t0 = time.time()
+    cfg3 = base_cfg
+    ds3 = Dataset(data)
+    stages.run_fragments(ds3, cfg3)
+    t_frag = time.time() - t0
+    t1 = time.time()
+    stages.run_registration(cfg3, all_pairs=True)
+    t_reg = time.time() - t1
+    t1 = time.time()
+    stages.run_posegraph(cfg3)
+    stages.run_optimize(cfg3)
+    stages.run_integrate(ds3, cfg3)
+    m = stages.run_evaluate(ds3, cfg3)
+    results["config3_full_rigid"] = {
+        **m,
+        "fragments_seconds": round(t_frag, 1),
+        "registration_seconds": round(t_reg, 1),
+        "rest_seconds": round(time.time() - t1, 1),
+        "seconds": round(time.time() - t0, 1),
+    }
+    _write(results, results_path)
+
+    # ---- config 4: + FragmentOptimizer (slac, then nonrigid) ----------------
+    for mode in ("slac", "nonrigid"):
+        t0 = time.time()
+        cfg4 = replace(base_cfg, slac_mode=mode)
+        stages.run_optimize(cfg4)
+        stages.run_integrate(ds3, cfg4)
+        m = stages.run_evaluate(ds3, cfg4)
+        results[f"config4_{mode}"] = {**m, "seconds": round(time.time() - t0, 1)}
+        _write(results, results_path)
+
+    print(json.dumps({"milestones": "done"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

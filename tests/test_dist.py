@@ -150,6 +150,26 @@ class TestVolumeSharding:
             np.array(fused_single.weight), np.array(fused_shard.weight)
         )
 
+    def test_sharded_mesh_extraction_matches(self):
+        from elasticreconstruction_tpu.integrate import extract_mesh
+
+        INTR = camera.Intrinsics(fx=60.0, fy=60.0, cx=31.5, cy=23.5, width=64, height=48)
+        scene = sdf.sphere((0.0, 0.0, 2.0), 0.5)
+        d = render.render_depth(scene, se3.identity(), INTR)
+        vol = tsdf.make_volume((64, 64, 64), 0.04, origin=(-1.25, -1.25, 0.75))
+        fused = tsdf.fuse(vol, d, se3.identity(), INTR)
+        tris_s, mask_s = extract_mesh(fused, capacity_per_slab=2048)
+        mesh = make_mesh(8)
+        fused_sh = volume_sharding.shard_volume(fused, mesh)
+        tris_d, mask_d = extract_mesh(fused_sh, capacity_per_slab=2048)
+        # The x axis is sharded; z-slab marching all-gathers the two slices it
+        # needs per step (the halo), so triangles must be identical.
+        np.testing.assert_array_equal(np.array(mask_s), np.array(mask_d))
+        np.testing.assert_allclose(
+            np.array(tris_s), np.array(tris_d), atol=1e-6
+        )
+        assert int(np.array(mask_s).sum()) > 100  # a real sphere mesh came out
+
 
 class TestPreppedSharding:
     def test_prepped_sharded_matches_single(self):

@@ -130,3 +130,24 @@ def test_full_pipeline(pipeline_dirs):
     assert pr["n_gt"] >= 1, "loop trajectory produced no gt overlap pairs"
     assert metrics["registration_recall"] > 0.3, f"recall too low: {pr}"
     assert metrics["registration_precision"] > 0.3, f"precision too low: {pr}"
+
+
+def test_block_grid_integrate(pipeline_dirs):
+    """Re-integrate with a small scene_max_shape to force the multi-block
+    path (frame culling + owned-region stitching) through run_integrate."""
+    from dataclasses import replace
+
+    ds, cfg = pipeline_dirs
+    mesh_path = Path(cfg.out_dir) / "integrate" / "mesh.ply"
+    n_before = int(
+        [l for l in mesh_path.read_text().splitlines()[:10] if "element vertex" in l][0].split()[-1]
+    )
+    cfg2 = replace(cfg, scene_max_shape=(72, 72, 72), out_dir=cfg.out_dir)
+    stages.run_integrate(ds, cfg2)
+    n_after = int(
+        [l for l in mesh_path.read_text().splitlines()[:10] if "element vertex" in l][0].split()[-1]
+    )
+    # Blocked integration covers the same scene: mesh size within 2%.
+    assert abs(n_after - n_before) <= max(0.02 * n_before, 16), (n_before, n_after)
+    metrics = stages.run_evaluate(ds, cfg2)
+    assert metrics["ate_rmse"] < 0.06
