@@ -170,6 +170,20 @@ def write_ctr(path: str | os.PathLike, positions: np.ndarray, resolution: int, l
             f.write(f"{p[0]:.8f} {p[1]:.8f} {p[2]:.8f}\n")
 
 
+def write_xyzn(path: str | os.PathLike, points: np.ndarray, normals: np.ndarray) -> None:
+    """Plain ``x y z nx ny nz`` per line (the reference FragmentOptimizer's
+    optional deformed-cloud output format — SURVEY.md §3.4)."""
+    data = np.concatenate(
+        [np.asarray(points, np.float64), np.asarray(normals, np.float64)], axis=1
+    )
+    np.savetxt(path, data, fmt="%.6f")
+
+
+def read_xyzn(path: str | os.PathLike) -> tuple[np.ndarray, np.ndarray]:
+    arr = np.loadtxt(path, dtype=np.float64, ndmin=2)
+    return arr[:, :3].astype(np.float32), arr[:, 3:6].astype(np.float32)
+
+
 def write_pcd(path: str | os.PathLike, points: np.ndarray, normals: np.ndarray | None = None) -> None:
     """ASCII PCD v0.7 writer (fragment clouds — reference cloud_bin_<i>.pcd)."""
     points = np.asarray(points, dtype=np.float32)

@@ -127,22 +127,45 @@ def fuse_at_camera_points(
     return vol._replace(tsdf=tsdf_new, weight=jnp.minimum(w_new, max_weight))
 
 
-def sample_trilinear(vol: TSDFVolume, points: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Trilinear TSDF at world ``points (..., 3)`` -> (value, valid).
+# Sentinel marking never-observed voxels in a combined sampling volume.  Any
+# value > 1 works (tsdf lives in [-1, 1]); trilinear samples touching a
+# sentinel corner are flagged invalid, so the polluted value is never used.
+_UNOBSERVED = 2.0
 
-    ``valid`` requires all 8 surrounding voxels observed (weight > 0) and
-    in-bounds — the raycaster's stopping criterion.
+
+def make_sampling_volume(vol: TSDFVolume) -> jax.Array:
+    """TSDF with unobserved voxels replaced by the sentinel.
+
+    Gathers are the raycaster's bottleneck on TPU (measured ~0.12 G random
+    32-bit loads/s — kernels_bench.json): folding the weight>0 validity into
+    the value array halves trilinear sampling from 16 gathers (tsdf + weight
+    per corner) to 8.  Build ONCE per volume state and reuse across steps.
     """
-    nx, ny, nz = vol.shape
-    g = (points - vol.origin) / vol.voxel_size  # grid coords (voxel-center units)
+    return jnp.where(vol.weight > 0, vol.tsdf, _UNOBSERVED)
+
+
+def _corner_setup(shape, origin, voxel_size, points):
+    nx, ny, nz = shape
+    g = (points - origin) / voxel_size  # grid coords (voxel-center units)
     g0 = jnp.floor(g)
     f = g - g0
     i0 = g0.astype(jnp.int32)
     in_bounds = jnp.all((i0 >= 0) & (i0 < jnp.array([nx - 1, ny - 1, nz - 1])), axis=-1)
     i0c = jnp.clip(i0, 0, jnp.array([nx - 2, ny - 2, nz - 2]))
+    return f, i0c, in_bounds
 
+
+def sample_values(
+    sval: jax.Array, origin: jax.Array, voxel_size: jax.Array, points: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Trilinear sample of a :func:`make_sampling_volume` array.
+
+    Returns (value, valid); ``valid`` requires in-bounds and all 8 corners
+    observed — identical semantics to the old (tsdf, weight) double gather.
+    """
+    f, i0c, in_bounds = _corner_setup(sval.shape, origin, voxel_size, points)
     val = jnp.zeros(points.shape[:-1], dtype=jnp.float32)
-    wmin = jnp.full(points.shape[:-1], jnp.inf, dtype=jnp.float32)
+    cmax = jnp.full(points.shape[:-1], -jnp.inf, dtype=jnp.float32)
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
@@ -152,24 +175,72 @@ def sample_trilinear(vol: TSDFVolume, points: jax.Array) -> tuple[jax.Array, jax
                     * jnp.where(dy, f[..., 1], 1 - f[..., 1])
                     * jnp.where(dz, f[..., 2], 1 - f[..., 2])
                 )
-                val = val + w * vol.tsdf[ix, iy, iz]
-                wmin = jnp.minimum(wmin, vol.weight[ix, iy, iz])
-    valid = in_bounds & (wmin > 0)
+                c = sval[ix, iy, iz]
+                val = val + w * c
+                cmax = jnp.maximum(cmax, c)
+    valid = in_bounds & (cmax < 1.5)  # no sentinel corner
     return val, valid
 
 
+def sample_trilinear(vol: TSDFVolume, points: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Trilinear TSDF at world ``points (..., 3)`` -> (value, valid).
+
+    Convenience wrapper; hot loops should build :func:`make_sampling_volume`
+    once and call :func:`sample_values` per step.
+    """
+    return sample_values(make_sampling_volume(vol), vol.origin, vol.voxel_size, points)
+
+
+def sample_nearest(
+    sval: jax.Array, origin: jax.Array, voxel_size: jax.Array, points: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Nearest-voxel sample of a :func:`make_sampling_volume` array: 1 gather.
+
+    The raycast march uses this (the reference KinFu marches on raw voxel
+    reads too and only interpolates near the crossing — SURVEY.md §3.1).
+    """
+    shape = sval.shape
+    i = jnp.round((points - origin) / voxel_size).astype(jnp.int32)
+    in_bounds = jnp.all((i >= 0) & (i < jnp.array(shape)), axis=-1)
+    ic = jnp.clip(i, 0, jnp.array(shape) - 1)
+    c = sval[ic[..., 0], ic[..., 1], ic[..., 2]]
+    return c, in_bounds & (c < 1.5)
+
+
+def _sample_value(tsdf: jax.Array, origin, voxel_size, points) -> jax.Array:
+    """Value-only trilinear sample of the raw tsdf array (8 gathers)."""
+    f, i0c, _ = _corner_setup(tsdf.shape, origin, voxel_size, points)
+    val = jnp.zeros(points.shape[:-1], dtype=jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                ix, iy, iz = i0c[..., 0] + dx, i0c[..., 1] + dy, i0c[..., 2] + dz
+                w = (
+                    jnp.where(dx, f[..., 0], 1 - f[..., 0])
+                    * jnp.where(dy, f[..., 1], 1 - f[..., 1])
+                    * jnp.where(dz, f[..., 2], 1 - f[..., 2])
+                )
+                val = val + w * tsdf[ix, iy, iz]
+    return val
+
+
 def sample_gradient(vol: TSDFVolume, points: jax.Array) -> jax.Array:
-    """Central-difference TSDF gradient at world points (surface normal dir)."""
+    """Central-difference TSDF gradient at world points (surface normal dir).
+
+    Differences of value-only trilinear samples (48 gathers/point) — the
+    smoothed gradient beats the cell-local analytic one by ~3% mean normal
+    cosine on curved surfaces, and validity gathers are unneeded here (the
+    callers mask by their own found/observed flags).
+    """
     h = vol.voxel_size
+
     def s(off):
-        v, _ = sample_trilinear(vol, points + off)
-        return v
+        return _sample_value(vol.tsdf, vol.origin, vol.voxel_size, points + off)
+
     ex = jnp.array([1.0, 0, 0]) * h
     ey = jnp.array([0, 1.0, 0]) * h
     ez = jnp.array([0, 0, 1.0]) * h
-    g = jnp.stack(
-        [s(ex) - s(-ex), s(ey) - s(-ey), s(ez) - s(-ez)], axis=-1
-    )
+    g = jnp.stack([s(ex) - s(-ex), s(ey) - s(-ey), s(ez) - s(-ez)], axis=-1)
     n = jnp.linalg.norm(g, axis=-1, keepdims=True)
     return g / jnp.where(n > 1e-12, n, 1.0)
 

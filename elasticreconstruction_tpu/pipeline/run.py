@@ -48,6 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fragment-volume", type=int, default=None, help="fragment TSDF resolution per axis; default 256 (full) / 128 (fast)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--spill-corres", action="store_true")
+    p.add_argument("--spill-deformed", action="store_true", help="optimize: dump deformed fragment clouds (.xyzn)")
     p.add_argument(
         "--preset",
         default="full",
@@ -148,7 +149,7 @@ def main(argv=None) -> int:
         elif args.stage == "posegraph":
             run_posegraph(cfg)
         elif args.stage == "optimize":
-            run_optimize(cfg, spill_corres=args.spill_corres)
+            run_optimize(cfg, spill_corres=args.spill_corres, spill_deformed=args.spill_deformed)
         elif args.stage == "integrate":
             run_integrate(ds, cfg)
         elif args.stage == "evaluate":

@@ -295,7 +295,9 @@ def run_posegraph(cfg: PipelineConfig) -> None:
 # ------------------------------------------------------- fragment optimizer
 
 
-def run_optimize(cfg: PipelineConfig, *, spill_corres: bool = False) -> None:
+def run_optimize(
+    cfg: PipelineConfig, *, spill_corres: bool = False, spill_deformed: bool = False
+) -> None:
     out = cfg.p_slac()
     out.mkdir(parents=True, exist_ok=True)
     clouds = load_fragment_clouds(cfg)
@@ -349,6 +351,21 @@ def run_optimize(cfg: PipelineConfig, *, spill_corres: bool = False) -> None:
             io_logfmt.write_ctr(out / f"ctr_{f}.txt", rest + disp[f], scfg.resolution, scfg.length)
     else:
         io_logfmt.write_ctr(out / "ctr.txt", rest + disp[0], scfg.resolution, scfg.length)
+    if spill_deformed:
+        # Reference FragmentOptimizer's optional deformed cloud dump
+        # (SURVEY.md §3.4): each fragment cloud through its lattice warp, in
+        # the fragment-local frame.  Normals are carried over unwarped (the
+        # warp is near-rigid at lattice scale; exact normal transport would
+        # need the warp Jacobian).
+        from ..elastic.lattice import deform
+
+        for f, c in enumerate(clouds):
+            m = np.array(c.mask)
+            d = jnp.asarray(disp[f if scfg.mode is SlacMode.NONRIGID else 0])
+            warped = np.array(deform(res.lattice, d, c.points))
+            io_logfmt.write_xyzn(
+                out / f"deformed_{f}.xyzn", warped[m], np.array(c.normals)[m]
+            )
     _log(
         "optimize",
         "done",

@@ -113,7 +113,8 @@ def calibrate():
     @jax.jit
     def mm32(a):
         def body(c, _):
-            return (c @ a) * 1e-3, ()
+            o = jax.lax.dot(c, a, precision=jax.lax.Precision.HIGHEST)
+            return o * 1e-3, ()
 
         c, _ = jax.lax.scan(body, a, None, length=K)
         return c[0, :8]
@@ -137,15 +138,25 @@ def calibrate():
     dt = _time_scan(mm16, (a16,), K)
     peaks["peak_mxu_bf16_tflops"] = 2 * m**3 / (dt * 1e-3) / 1e12
 
-    # VPU f32 FMA rate: 256 serial FMAs per element on VMEM blocks, x8 outer.
+    # VPU f32 FMA rate: 4 independent FMA chains per element (hides ALU
+    # latency) x 64 loop iterations on a VMEM-resident block.
     _progress("calibrate: vpu")
-    ITERS, BQ, BL, GRID, K = 256, 256, 1024, 64, 8
+    ITERS, BQ, BL, GRID, K = 64, 256, 1024, 64, 8
 
     def fma_kernel(x_ref, o_ref):
-        def body(_, acc):
-            return acc * 1.0000001 + 1e-7
+        x = x_ref[:]
 
-        o_ref[:] = jax.lax.fori_loop(0, ITERS, body, x_ref[:])
+        def body(_, accs):
+            a, b, c, d = accs
+            return (
+                a * 1.0000001 + 1e-7,
+                b * 1.0000002 + 1e-7,
+                c * 1.0000003 + 1e-7,
+                d * 1.0000004 + 1e-7,
+            )
+
+        a, b, c, d = jax.lax.fori_loop(0, ITERS, body, (x, x + 1e-5, x + 2e-5, x + 3e-5))
+        o_ref[:] = (a + b) + (c + d)
 
     pc = lambda v: pl.pallas_call(
         fma_kernel,
@@ -164,30 +175,31 @@ def calibrate():
         c, _ = jax.lax.scan(body, x, None, length=K)
         return c[0, :8]
 
-    dt = _time_scan(vpu, (xb,), K * ITERS)  # per-FMA-pass time
-    peaks["peak_vpu_tflops"] = 2 * GRID * BQ * BL / (dt * 1e-3) / 1e12
+    dt = _time_scan(vpu, (xb,), K * ITERS)  # per-loop-iteration time
+    peaks["peak_vpu_tflops"] = 4 * 2 * GRID * BQ * BL / (dt * 1e-3) / 1e12
 
-    # Random 32-bit gather rate from a 64 MB table.
+    # Random 32-bit gather rates: HBM-scale table (64 MB — raycast's TSDF
+    # volume) and VMEM-scale table (1 MB — fuse's depth map).
     _progress("calibrate: gather")
-    NG, K = 1 << 23, 16
-    table = jax.jit(lambda k: jax.random.uniform(k, (1 << 24,), jnp.float32))(key)
-    idx = jax.jit(
-        lambda k: jax.random.randint(k, (NG,), 0, 1 << 24, jnp.int32)
-    )(key)
+    for label, tbits in (("peak_gather_hbm_geps", 24), ("peak_gather_vmem_geps", 18)):
+        NG, K = 1 << 23, 16
+        tsize = 1 << tbits
+        table = jax.jit(lambda k: jax.random.uniform(k, (tsize,), jnp.float32))(key)
+        idx = jax.jit(lambda k: jax.random.randint(k, (NG,), 0, tsize, jnp.int32))(key)
 
-    @jax.jit
-    def gather(t, i):
-        def body(c, k):
-            g = t[(i + k) & ((1 << 24) - 1)]
-            return c + g[:: (1 << 18)], ()
+        @jax.jit
+        def gather(t, i):
+            def body(c, k):
+                g = t[(i + k) & (tsize - 1)]
+                return c + g[:: (1 << 18)], ()
 
-        c, _ = jax.lax.scan(
-            body, jnp.zeros(NG >> 18, jnp.float32), jnp.arange(K, dtype=jnp.int32)
-        )
-        return c
+            c, _ = jax.lax.scan(
+                body, jnp.zeros(NG >> 18, jnp.float32), jnp.arange(K, dtype=jnp.int32)
+            )
+            return c
 
-    dt = _time_scan(gather, (table, idx), K)
-    peaks["peak_gather_geps"] = NG / (dt * 1e-3) / 1e9
+        dt = _time_scan(gather, (table, idx), K)
+        peaks[label] = NG / (dt * 1e-3) / 1e9
     return peaks
 
 
@@ -197,7 +209,8 @@ def _sol(entry, peaks):
         "hbm_ms": model.get("hbm_bytes", 0) / (peaks["peak_bw_gbs"] * 1e9) * 1e3,
         "vpu_ms": model.get("vpu_ops", 0) / (peaks["peak_vpu_tflops"] * 1e12) * 1e3,
         "mxu_ms": model.get("mxu_flops", 0) / (peaks["peak_mxu_f32_tflops"] * 1e12) * 1e3,
-        "gather_ms": model.get("gathers", 0) / (peaks["peak_gather_geps"] * 1e9) * 1e3,
+        "gather_hbm_ms": model.get("gathers_hbm", 0) / (peaks["peak_gather_hbm_geps"] * 1e9) * 1e3,
+        "gather_vmem_ms": model.get("gathers_vmem", 0) / (peaks["peak_gather_vmem_geps"] * 1e9) * 1e3,
     }
     entry["sol_breakdown_ms"] = {k: round(v, 4) for k, v in times.items()}
     entry["sol_ms"] = round(max(times.values()), 4)
@@ -206,7 +219,8 @@ def _sol(entry, peaks):
     return entry
 
 
-def bench_kernels(peaks):
+def bench_kernels(peaks, want=None):
+    _w = lambda name: want is None or name in want
     import jax
     import jax.numpy as jnp
 
@@ -238,194 +252,239 @@ def bench_kernels(peaks):
 
         return run
 
-    _progress("kernel: pallas_nn")
-    # ---- Pallas fused NN (ICP correspondence query), production shape ------
+    # Shared production shapes (cheap to build; sections stay standalone).
     B, NQ, NR = 16, 4096, 8192
+    el = B * NQ * NR
     q = jnp.asarray(rng.uniform(-1.5, 1.5, (B, NQ, 3)).astype(np.float32))
     r = jnp.asarray(rng.uniform(-1.5, 1.5, (B, NR, 3)).astype(np.float32))
     msk = jnp.ones((B, NR), bool)
-    K = 32
-    run = scanned(
-        lambda k, q, r, m: _pnn.nearest_batch(
-            q + k.astype(jnp.float32) * 1e-6, r, m, block_q=1024, block_r=4096
-        ),
-        lambda out: jnp.sum(out[0][:, ::512]) + jnp.sum(out[1][:, ::512]).astype(jnp.float32),
-        K,
-    )
-    dt = _time_scan(run, (q, r, msk), K)
-    el = B * NQ * NR
-    entries.append(_sol({
-        "kernel": "pallas_nn.nearest_batch",
-        "shape": f"B={B} NQ={NQ} NR={NR}",
-        "time_ms": round(dt, 3),
-        "gpairs_per_s": round(el / (dt * 1e-3) / 1e9, 2),
-        "model": {
-            "hbm_bytes": B * (NQ * 12 + NR * 16 + NQ * 8),
-            "vpu_ops": el * 8,       # d2 epilogue + running min/argmin (est.)
-            "mxu_flops": el * 6,     # K=3 cross-term matmul
-        },
-        "model_note": "VPU 8 ops/pair is an estimate of the fused epilogue",
-    }, peaks))
-
-    _progress("kernel: pallas_icp")
-    # ---- Pallas fused ICP normal equations ---------------------------------
-    dnrm = jnp.asarray(rng.normal(size=(B, NR, 3)).astype(np.float32))
-    dnrm = dnrm / jnp.linalg.norm(dnrm, axis=-1, keepdims=True)
-    w = jnp.ones((B, NQ), jnp.float32)
-    K = 32
-    run = scanned(
-        lambda k, q, w, r, n, m: _picp.normal_eqs_batch(
-            q + k.astype(jnp.float32) * 1e-6, w, r, n, m,
-            max_dist=0.075, block_q=1024, block_r=1024,
-        ),
-        lambda out: jnp.sum(out[0]) + jnp.sum(out[1]) + jnp.sum(out[2]),
-        K,
-    )
-    dt = _time_scan(run, (q, w, r, dnrm, msk), K)
-    entries.append(_sol({
-        "kernel": "pallas_icp.normal_eqs_batch",
-        "shape": f"B={B} NQ={NQ} NR={NR}",
-        "time_ms": round(dt, 3),
-        "model": {
-            "hbm_bytes": B * (NQ * 16 + NR * 32),
-            "vpu_ops": el * 12,      # d2 + one-hot build + min tracking (est.)
-            "mxu_flops": el * (6 + 12),  # K=3 distances + two one-hot gathers
-        },
-        "model_note": "one-hot gathers counted as MXU work (indicator matmuls)",
-    }, peaks))
-
-    _progress("kernel: tsdf_fuse")
-    # ---- TSDF fuse: the volume is the scan carry (the real workload) -------
     intr = cam.Intrinsics(fx=525.0, fy=525.0, cx=319.5, cy=239.5, width=640, height=480)
     depth = jnp.asarray(
         (2.0 + 0.5 * rng.standard_normal((480, 640))).clip(0.5, 5.0).astype(np.float32)
     )
     pose = jnp.eye(4)
-    K = 64
-    for name, shape, vs in (("fragment", (256, 256, 256), 0.012), ("scene", (448, 256, 448), 0.015)):
-        vol = _tsdf.make_volume(shape, vs, (-1.5, -1.5, 0.3))
 
-        @jax.jit
-        def fuse_k(vol, depth, pose):
-            def body(v, k):
-                return _tsdf.fuse(v, depth + k.astype(jnp.float32) * 1e-6, pose, intr), ()
-
-            v, _ = jax.lax.scan(body, vol, jnp.arange(K, dtype=jnp.int32))
-            return v.tsdf[::64, ::64, ::64]
-
-        dt = _time_scan(fuse_k, (vol, depth, pose), K)
-        nvox = int(np.prod(shape))
+    if _w("nn"):
+        _progress("kernel: pallas_nn")
+        # ---- Pallas fused NN (ICP correspondence query), production shape ------
+        K = 32
+        run = scanned(
+            lambda k, q, r, m: _pnn.nearest_batch(
+                q + k.astype(jnp.float32) * 1e-6, r, m, block_q=1024, block_r=4096
+            ),
+            lambda out: jnp.sum(out[0][:, ::512]) + jnp.sum(out[1][:, ::512]).astype(jnp.float32),
+            K,
+        )
+        dt = _time_scan(run, (q, r, msk), K)
         entries.append(_sol({
-            "kernel": f"tsdf.fuse[{name}]",
-            "shape": f"{shape} vox, 640x480 depth",
+            "kernel": "pallas_nn.nearest_batch",
+            "shape": f"B={B} NQ={NQ} NR={NR}",
             "time_ms": round(dt, 3),
-            "gvoxels_per_s": round(nvox / (dt * 1e-3) / 1e9, 2),
+            "gpairs_per_s": round(el / (dt * 1e-3) / 1e9, 2),
             "model": {
-                "hbm_bytes": nvox * 16,  # read+write tsdf & weight
-                "vpu_ops": nvox * 25,    # project + update epilogue (est.)
-                "gathers": nvox,         # depth lookup
+                "hbm_bytes": B * (NQ * 12 + NR * 16 + NQ * 8),
+                "vpu_ops": el * 8,       # d2 epilogue + running min/argmin (est.)
+                "mxu_flops": el * 6,     # K=3 cross-term matmul
+            },
+            "model_note": "VPU 8 ops/pair is an estimate of the fused epilogue",
+        }, peaks))
+
+    if _w("icp"):
+        _progress("kernel: pallas_icp")
+        # ---- Pallas fused ICP normal equations ---------------------------------
+        dnrm = jnp.asarray(rng.normal(size=(B, NR, 3)).astype(np.float32))
+        dnrm = dnrm / jnp.linalg.norm(dnrm, axis=-1, keepdims=True)
+        w = jnp.ones((B, NQ), jnp.float32)
+        K = 32
+        run = scanned(
+            lambda k, q, w, r, n, m: _picp.normal_eqs_batch(
+                q + k.astype(jnp.float32) * 1e-6, w, r, n, m,
+                max_dist=0.075, block_q=1024, block_r=1024,
+            ),
+            lambda out: jnp.sum(out[0]) + jnp.sum(out[1]) + jnp.sum(out[2]),
+            K,
+        )
+        dt = _time_scan(run, (q, w, r, dnrm, msk), K)
+        entries.append(_sol({
+            "kernel": "pallas_icp.normal_eqs_batch",
+            "shape": f"B={B} NQ={NQ} NR={NR}",
+            "time_ms": round(dt, 3),
+            "model": {
+                "hbm_bytes": B * (NQ * 16 + NR * 32),
+                "vpu_ops": el * 12,      # d2 + one-hot build + min tracking (est.)
+                "mxu_flops": el * (6 + 12),  # K=3 distances + two one-hot gathers
+            },
+            "model_note": "one-hot gathers counted as MXU work (indicator matmuls)",
+        }, peaks))
+
+    if _w("fuse"):
+        _progress("kernel: tsdf_fuse")
+        # ---- TSDF fuse: the volume is the scan carry (the real workload) -------
+        K = 64
+        for name, shape, vs in (("fragment", (256, 256, 256), 0.012), ("scene", (448, 256, 448), 0.015)):
+            vol = _tsdf.make_volume(shape, vs, (-1.5, -1.5, 0.3))
+
+            @jax.jit
+            def fuse_k(vol, depth, pose):
+                def body(v, k):
+                    return _tsdf.fuse(v, depth + k.astype(jnp.float32) * 1e-6, pose, intr), ()
+
+                v, _ = jax.lax.scan(body, vol, jnp.arange(K, dtype=jnp.int32))
+                return v.tsdf[::64, ::64, ::64]
+
+            dt = _time_scan(fuse_k, (vol, depth, pose), K)
+            nvox = int(np.prod(shape))
+            entries.append(_sol({
+                "kernel": f"tsdf.fuse[{name}]",
+                "shape": f"{shape} vox, 640x480 depth",
+                "time_ms": round(dt, 3),
+                "gvoxels_per_s": round(nvox / (dt * 1e-3) / 1e9, 2),
+                "model": {
+                    "hbm_bytes": nvox * 16,  # read+write tsdf & weight
+                    "vpu_ops": nvox * 25,    # project + update epilogue (est.)
+                    "gathers_vmem": nvox,    # depth-map lookup (1.2 MB table)
+                },
+            }, peaks))
+
+    if _w("raycast"):
+        _progress("kernel: raycast")
+        # ---- Raycast (frame-to-model odometry view) -----------------------------
+        vol = _tsdf.make_volume((256, 256, 256), 0.012, (-1.5, -1.5, 0.3))
+        vol = _tsdf.fuse(vol, depth, pose, intr)
+        K = 8
+        run = scanned(
+            lambda k, vol, pose: _raycast.raycast(
+                vol, pose.at[0, 3].add(k.astype(jnp.float32) * 1e-6), intr, num_steps=192
+            ),
+            lambda out: jnp.sum(out.vertices[::32, ::32]) + jnp.sum(out.valid[::32, ::32]),
+            K,
+        )
+        dt = _time_scan(run, (vol, pose), K)
+        nray = intr.width * intr.height
+        entries.append(_sol({
+            "kernel": "raycast.raycast",
+            "shape": "640x480 rays x 192 steps, 256^3 vol",
+            "time_ms": round(dt, 3),
+            "mrays_per_s": round(nray / (dt * 1e-3) / 1e6, 2),
+            "model": {
+                "vpu_ops": nray * 192 * 40,   # trilinear weights + crossing logic (est.)
+                "gathers_hbm": nray * 192 * 16,  # 8 tsdf + 8 weight samples/step (64 MB vol)
+            },
+            "model_note": "gather-dominated; 16 random 32-bit loads per step",
+        }, peaks))
+
+    if _w("fpfh"):
+        _progress("kernel: fpfh")
+        # ---- FPFH at registration coarse scale ----------------------------------
+        pts = rng.uniform(-1.5, 1.5, (4096, 3)).astype(np.float32)
+        nrm = rng.normal(size=(4096, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        cloud = PointCloud.from_points(jnp.asarray(pts), jnp.asarray(nrm))
+        K = 16
+        run = scanned(
+            lambda k, c: _fpfh.fpfh_radius(
+                PointCloud(c.points + k.astype(jnp.float32) * 1e-6, c.normals, c.mask), 0.25
+            ),
+            lambda out: jnp.sum(out[::64]),
+            K,
+        )
+        dt = _time_scan(run, (cloud,), K)
+        n2 = 4096 * 4096
+        entries.append(_sol({
+            "kernel": "fpfh.fpfh_radius",
+            "shape": "N=4096, radius 0.25",
+            "time_ms": round(dt, 3),
+            "model": {
+                "vpu_ops": n2 * 120,         # pair features + 33 bin reduces (est.)
+                "mxu_flops": n2 * (12 + 66), # two d2 passes + SPFH mix matmul
             },
         }, peaks))
 
-    _progress("kernel: raycast")
-    # ---- Raycast (frame-to-model odometry view) -----------------------------
-    vol = _tsdf.make_volume((256, 256, 256), 0.012, (-1.5, -1.5, 0.3))
-    vol = _tsdf.fuse(vol, depth, pose, intr)
-    K = 8
-    run = scanned(
-        lambda k, vol, pose: _raycast.raycast(
-            vol, pose.at[0, 3].add(k.astype(jnp.float32) * 1e-6), intr, num_steps=192
-        ),
-        lambda out: jnp.sum(out.vertices[::32, ::32]) + jnp.sum(out.valid[::32, ::32]),
-        K,
-    )
-    dt = _time_scan(run, (vol, pose), K)
-    nray = intr.width * intr.height
-    entries.append(_sol({
-        "kernel": "raycast.raycast",
-        "shape": "640x480 rays x 192 steps, 256^3 vol",
-        "time_ms": round(dt, 3),
-        "mrays_per_s": round(nray / (dt * 1e-3) / 1e6, 2),
-        "model": {
-            "vpu_ops": nray * 192 * 40,   # trilinear weights + crossing logic (est.)
-            "gathers": nray * 192 * 16,   # 8 tsdf + 8 weight samples per step
-        },
-        "model_note": "gather-dominated; 16 random 32-bit loads per step",
-    }, peaks))
-
-    _progress("kernel: fpfh")
-    # ---- FPFH at registration coarse scale ----------------------------------
-    pts = rng.uniform(-1.5, 1.5, (4096, 3)).astype(np.float32)
-    nrm = rng.normal(size=(4096, 3)).astype(np.float32)
-    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
-    cloud = PointCloud.from_points(jnp.asarray(pts), jnp.asarray(nrm))
-    K = 16
-    run = scanned(
-        lambda k, c: _fpfh.fpfh_radius(
-            PointCloud(c.points + k.astype(jnp.float32) * 1e-6, c.normals, c.mask), 0.25
-        ),
-        lambda out: jnp.sum(out[::64]),
-        K,
-    )
-    dt = _time_scan(run, (cloud,), K)
-    n2 = 4096 * 4096
-    entries.append(_sol({
-        "kernel": "fpfh.fpfh_radius",
-        "shape": "N=4096, radius 0.25",
-        "time_ms": round(dt, 3),
-        "model": {
-            "vpu_ops": n2 * 120,         # pair features + 33 bin reduces (est.)
-            "mxu_flops": n2 * (12 + 66), # two d2 passes + SPFH mix matmul
-        },
-    }, peaks))
-
-    _progress("kernel: voxel_downsample")
-    # ---- Voxel-grid downsample (sort-bound; no tight roofline) --------------
-    big = PointCloud.from_points(
-        jnp.asarray(rng.uniform(-1.5, 1.5, (131072, 3)).astype(np.float32))
-    )
-    K = 16
-    run = scanned(
-        lambda k, c: _voxel.voxel_downsample(
-            PointCloud(c.points + k.astype(jnp.float32) * 1e-6, c.normals, c.mask), 0.05, 8192
-        ),
-        lambda out: jnp.sum(out.points[::256]) + jnp.sum(out.mask[::256]),
-        K,
-    )
-    dt = _time_scan(run, (big,), K)
-    entries.append({
-        "kernel": "voxel_grid.voxel_downsample",
-        "shape": "131072 -> 8192",
-        "time_ms": round(dt, 3),
-        "mpoints_per_s": round(131072 / (dt * 1e-3) / 1e6, 2),
-        "model": {},
-        "note": "sort-bound (radix over 30-bit keys); no analytic roofline",
-    })
+    if _w("voxel"):
+        _progress("kernel: voxel_downsample")
+        # ---- Voxel-grid downsample (sort-bound; no tight roofline) --------------
+        big = PointCloud.from_points(
+            jnp.asarray(rng.uniform(-1.5, 1.5, (131072, 3)).astype(np.float32))
+        )
+        K = 16
+        run = scanned(
+            lambda k, c: _voxel.voxel_downsample(
+                PointCloud(c.points + k.astype(jnp.float32) * 1e-6, c.normals, c.mask), 0.05, 8192
+            ),
+            lambda out: jnp.sum(out.points[::256]) + jnp.sum(out.mask[::256]),
+            K,
+        )
+        dt = _time_scan(run, (big,), K)
+        entries.append({
+            "kernel": "voxel_grid.voxel_downsample",
+            "shape": "131072 -> 8192",
+            "time_ms": round(dt, 3),
+            "mpoints_per_s": round(131072 / (dt * 1e-3) / 1e6, 2),
+            "model": {},
+            "note": "sort-bound (radix over 30-bit keys); no analytic roofline",
+        })
 
     return entries
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--section",
+        default="all",
+        choices=["all", "calibrate", "kernels", "nn", "icp", "fuse", "raycast", "fpfh", "voxel"],
+        help="run one phase and merge into kernels_bench.json (compiles are "
+        "minutes-scale through the tunnel; sections keep each run bounded)",
+    )
+    args = ap.parse_args()
+
     import jax
 
+    # Persistent compile cache: Mosaic/XLA compiles through the tunnel are
+    # minutes-scale; reruns must not repay them.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/er_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    import os
+
     dev = jax.devices()[0]
+    out = {}
+    if os.path.exists("kernels_bench.json"):
+        with open("kernels_bench.json") as f:
+            out = json.load(f)
     rtt = measure_rtt()
-    peaks = calibrate()
-    entries = bench_kernels(peaks)
-    out = {
-        "platform": dev.platform,
-        "device_kind": dev.device_kind,
-        "readback_rtt_ms": round(rtt, 3),
-        "timing_note": (
+    out.update(
+        platform=dev.platform,
+        device_kind=dev.device_kind,
+        readback_rtt_ms=round(rtt, 3),
+        timing_note=(
             "block_until_ready does not synchronize on the tunneled platform; "
             "all timings are K-iteration in-jit scans bounded by scalar readbacks"
         ),
-        "calibration": {k: round(v, 2) for k, v in peaks.items()},
-        "kernels": entries,
-    }
+    )
+    if args.section in ("all", "calibrate"):
+        peaks = calibrate()
+        out["calibration"] = {k: round(v, 2) for k, v in peaks.items()}
+        _write_out(out)
+    kernel_names = ["nn", "icp", "fuse", "raycast", "fpfh", "voxel"]
+    if args.section in ("all", "kernels") or args.section in kernel_names:
+        peaks = {k: float(v) for k, v in out["calibration"].items()}
+        want = None if args.section in ("all", "kernels") else {args.section}
+        entries = bench_kernels(peaks, want)
+        old = {e["kernel"]: e for e in out.get("kernels", [])}
+        for e in entries:
+            old[e["kernel"]] = e
+        out["kernels"] = list(old.values())
+        _write_out(out)
+    print(json.dumps(out, indent=2))
+
+
+def _write_out(out):
     with open("kernels_bench.json", "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":

@@ -35,6 +35,14 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=2550)
     ap.add_argument("--out", default="milestone_runs")
     ap.add_argument("--noise", type=float, default=0.01)
+    # Volumetric resolutions: gathers cap TSDF fuse/raycast throughput on
+    # this chip (see kernels_bench.json / docs/design_notes.md §5), so the
+    # ladder defaults to 128^3 fragment volumes at 2.4 cm — same metric
+    # extent as the reference's recipe, 8x fewer voxels per fuse.
+    ap.add_argument("--fragment-volume", type=int, default=128)
+    ap.add_argument("--fragment-voxel", type=float, default=0.024)
+    ap.add_argument("--scene-voxel", type=float, default=0.03)
+    ap.add_argument("--raycast-steps", type=int, default=96)
     args = ap.parse_args()
 
     import numpy as np
@@ -72,12 +80,23 @@ def main() -> None:
     results["generate_seconds"] = round(time.time() - t0, 1)
     _write(results, results_path)
 
+    from elasticreconstruction_tpu.odometry.fragments import FragmentConfig
+    from elasticreconstruction_tpu.odometry.kinfu import OdometryConfig
+
+    fv = args.fragment_volume
     base_cfg = PipelineConfig(
         data_dir=str(data),
         out_dir=str(root / "out_full"),
         frames_per_fragment=50,
+        fragment=FragmentConfig(
+            frames_per_fragment=50,
+            volume_shape=(fv, fv, fv),
+            voxel_size=args.fragment_voxel,
+            cloud_capacity=1 << 16,
+            odometry=OdometryConfig(raycast_steps=args.raycast_steps),
+        ),
         slac_mode="none",
-        scene_voxel_size=0.02,
+        scene_voxel_size=args.scene_voxel,
         registration_batch=16,
     )
 

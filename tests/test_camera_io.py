@@ -88,6 +88,17 @@ def test_pcd_roundtrip(tmp_path):
     np.testing.assert_allclose(nrm2, nrm, atol=1e-5)
 
 
+def test_xyzn_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(12, 3)).astype(np.float32)
+    nrm = rng.normal(size=(12, 3)).astype(np.float32)
+    p = tmp_path / "deformed_0.xyzn"
+    io_logfmt.write_xyzn(p, pts, nrm)
+    pts2, nrm2 = io_logfmt.read_xyzn(p)
+    np.testing.assert_allclose(pts2, pts, atol=1e-5)
+    np.testing.assert_allclose(nrm2, nrm, atol=1e-5)
+
+
 def test_ate_zero_for_identical():
     from elasticreconstruction_tpu.eval import ate
 

@@ -101,9 +101,11 @@ def test_full_pipeline(pipeline_dirs):
     poses = io_logfmt.read_log(out / "posegraph" / "pose.log").matrices()
     assert poses.shape == (nf, 4, 4)
 
-    stages.run_optimize(cfg)
+    stages.run_optimize(cfg, spill_deformed=True)
     assert (out / "slac" / "ctr.txt").exists()
     assert (out / "slac" / "pose_slac.log").exists()
+    dpts, dnrm = io_logfmt.read_xyzn(out / "slac" / "deformed_0.xyzn")
+    assert len(dpts) > 100 and dpts.shape[1] == 3 and dnrm.shape == dpts.shape
 
     stages.run_integrate(ds, cfg)
     mesh_path = out / "integrate" / "mesh.ply"
