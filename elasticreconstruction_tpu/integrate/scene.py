@@ -113,6 +113,78 @@ def integrate_frames_slac(
     return vol
 
 
+@partial(jax.jit, static_argnames=("intr", "cfg"))
+def integrate_frames_scatter(
+    vol: _tsdf.TSDFVolume,
+    depths: jax.Array,
+    poses: jax.Array,
+    intr: cam.Intrinsics,
+    cfg: SceneConfig = SceneConfig(),
+) -> _tsdf.TSDFVolume:
+    """Scatter-formulation twin of :func:`integrate_frames`.
+
+    Memory ops per frame scale with pixels x band samples instead of the
+    voxel count (kernels/tsdf.py:fuse_scatter) — the right formulation for
+    scene-scale volumes, which are meshed, never raycast.
+    """
+
+    def step(v, inp):
+        depth, pose = inp
+        v = _tsdf.fuse_scatter(
+            v,
+            depth,
+            pose,
+            intr,
+            max_weight=cfg.max_weight,
+            depth_min=cfg.depth_min,
+            depth_max=cfg.depth_max,
+        )
+        return v, None
+
+    vol, _ = jax.lax.scan(step, vol, (depths, poses))
+    return vol
+
+
+@partial(jax.jit, static_argnames=("intr", "cfg", "lat"))
+def integrate_frames_slac_scatter(
+    vol: _tsdf.TSDFVolume,
+    depths: jax.Array,
+    frag_poses: jax.Array,
+    local_poses: jax.Array,
+    displacement: jax.Array,
+    lat,
+    intr: cam.Intrinsics,
+    cfg: SceneConfig = SceneConfig(),
+) -> _tsdf.TSDFVolume:
+    """Scatter twin of :func:`integrate_frames_slac` using the FORWARD warp.
+
+    Band samples go camera -> fragment-local (``local_poses[k]``) -> forward
+    lattice warp ``D`` -> world (``frag_poses[k]``) — exactly the optimizer's
+    geometry model ``T_i · D_i(p)`` (elastic/slac.py), with no
+    small-displacement inverse approximation: scattering follows the warp's
+    natural direction, where gathering had to invert it.
+    """
+    from ..elastic.lattice import deform
+
+    def step(v, inp):
+        depth, Tf, Lk, disp = inp
+        p_cam, obs, valid = _tsdf.band_samples(
+            depth, intr, v.truncation, depth_min=cfg.depth_min, depth_max=cfg.depth_max
+        )
+        local = p_cam @ Lk[:3, :3].T + Lk[:3, 3]
+        shp = local.shape
+        warped = deform(lat, disp, local.reshape(-1, 3)).reshape(shp)
+        p_world = warped @ Tf[:3, :3].T + Tf[:3, 3]
+        view_z = Tf[:3, :3] @ Lk[:3, 2]
+        v = _tsdf.scatter_update(
+            v, p_world, obs, valid, view_z, max_weight=cfg.max_weight
+        )
+        return v, None
+
+    vol, _ = jax.lax.scan(step, vol, (depths, frag_poses, local_poses, displacement))
+    return vol
+
+
 def compose_frame_poses(fragment_poses, local_poses_per_fragment) -> jax.Array:
     """World pose per frame: ``T_frag[k] @ T_local[k][f]`` flattened in order.
 

@@ -127,6 +127,126 @@ def fuse_at_camera_points(
     return vol._replace(tsdf=tsdf_new, weight=jnp.minimum(w_new, max_weight))
 
 
+def band_samples(
+    depth: jax.Array,
+    intr: cam.Intrinsics,
+    truncation: jax.Array,
+    *,
+    num_samples: int = 9,
+    depth_min: float = 0.1,
+    depth_max: float = 6.0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Truncation-band sample points along every pixel ray, camera frame.
+
+    The scatter fusion's work-list: ``num_samples`` points per pixel spanning
+    z in [d - trunc, d + trunc].  Returns ``(p_cam (S, P, 3), obs (S, P),
+    valid (S, P))`` with P = H*W; ``obs`` is the normalized TSDF observation
+    at the sample (sdf = d - z, the same z-difference metric as :func:`fuse`).
+    """
+    uv = cam.pixel_grid(intr)
+    dirs = jnp.stack(
+        [
+            (uv[..., 0] - intr.cx) / intr.fx,
+            (uv[..., 1] - intr.cy) / intr.fy,
+            jnp.ones_like(uv[..., 0]),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    d = depth.reshape(-1)
+    valid_px = (d >= depth_min) & (d <= depth_max)
+    off = jnp.linspace(-1.0, 1.0, num_samples)[:, None] * truncation  # (S, 1)
+    z = d[None, :] + off  # (S, P)
+    p_cam = dirs[None] * z[..., None]
+    obs = jnp.broadcast_to(-off / truncation, z.shape)
+    valid = valid_px[None, :] & (z > 1e-3)
+    return p_cam, obs, valid
+
+
+def scatter_update(
+    vol: TSDFVolume,
+    p_world: jax.Array,
+    obs: jax.Array,
+    valid: jax.Array,
+    view_z_world,
+    *,
+    max_weight: float = 64.0,
+) -> TSDFVolume:
+    """Scatter band samples into the volume; one weight unit per hit voxel.
+
+    ``view_z_world``: camera z-axis in world coords (rows of ``pose[:3, 2]``)
+    or ``None``.  When given, each sample's observation is corrected from the
+    sample position to its voxel's CENTER along the view direction, so the
+    stored value matches what the gather formulation (:func:`fuse`) computes
+    at that center to first order.
+    """
+    nx, ny, nz = vol.shape
+    g = (p_world - vol.origin) / vol.voxel_size
+    i = jnp.round(g).astype(jnp.int32)
+    inb = jnp.all((i >= 0) & (i < jnp.array([nx, ny, nz])), axis=-1)
+    hit_ok = valid & inb
+    ic = jnp.clip(i, 0, jnp.array([nx - 1, ny - 1, nz - 1]))
+    if view_z_world is not None:
+        center = vol.origin + ic.astype(jnp.float32) * vol.voxel_size
+        dz = jnp.sum((center - p_world) * view_z_world, axis=-1)
+        obs = obs - dz / vol.truncation
+    obs = jnp.clip(obs, -1.0, 1.0)
+    w = hit_ok.astype(jnp.float32)
+    flat = (ic[..., 0] * ny + ic[..., 1]) * nz + ic[..., 2]
+    flat = jnp.where(hit_ok, flat, nx * ny * nz).reshape(-1)  # spill slot
+    sums = jnp.zeros(nx * ny * nz + 1, jnp.float32).at[flat].add((obs * w).reshape(-1))
+    cnt = jnp.zeros(nx * ny * nz + 1, jnp.float32).at[flat].add(w.reshape(-1))
+    sums = sums[:-1].reshape(vol.shape)
+    cnt = cnt[:-1].reshape(vol.shape)
+    hit = cnt > 0
+    obs_mean = sums / jnp.maximum(cnt, 1.0)
+    w_old = vol.weight
+    w_new = jnp.where(hit, w_old + 1.0, w_old)
+    tsdf_new = jnp.where(
+        hit, (vol.tsdf * w_old + obs_mean) / jnp.maximum(w_new, 1.0), vol.tsdf
+    )
+    return vol._replace(tsdf=tsdf_new, weight=jnp.minimum(w_new, max_weight))
+
+
+@partial(jax.jit, static_argnames=("intr", "num_samples"))
+def fuse_scatter(
+    vol: TSDFVolume,
+    depth: jax.Array,
+    pose: jax.Array,
+    intr: cam.Intrinsics,
+    *,
+    num_samples: int = 9,
+    max_weight: float = 64.0,
+    depth_min: float = 0.1,
+    depth_max: float = 6.0,
+) -> TSDFVolume:
+    """Scatter-formulation fusion: iterate PIXELS x band samples, not voxels.
+
+    Same weighted-average update as :func:`fuse` but only inside the
+    truncation band: samples along each pixel ray are scattered into their
+    voxels (segment-mean per voxel, then one weight unit per frame).  Memory
+    ops scale with H*W*num_samples instead of the voxel count — ~6x fewer for
+    fragment volumes, ~20x for scene volumes at 320x240 (docs/design_notes.md
+    §5) — and free space is skipped entirely.  The trade: free space is never
+    CARVED (+1 observations outside the band are dropped), so use it where
+    the volume feeds mesh extraction (the reference Integrate/main.cpp path,
+    SURVEY.md §3.5), not the odometry raycast, which wants wide +1 coverage.
+    """
+    p_cam, obs, valid = band_samples(
+        depth,
+        intr,
+        vol.truncation,
+        num_samples=num_samples,
+        depth_min=depth_min,
+        depth_max=depth_max,
+    )
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    p_world = p_cam @ R.T + t
+    return scatter_update(
+        vol, p_world, obs, valid, pose[:3, 2], max_weight=max_weight
+    )
+
+
 # Sentinel marking never-observed voxels in a combined sampling volume.  Any
 # value > 1 works (tsdf lives in [-1, 1]); trilinear samples touching a
 # sentinel corner are flagged invalid, so the polluted value is never used.

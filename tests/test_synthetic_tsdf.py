@@ -123,3 +123,60 @@ class TestRaycast:
         v_cam = (np.array(res.vertices) - t) @ Rt.T
         err = np.abs(v_cam[..., 2][both] - np.array(d_gt)[both])
         assert np.median(err) < 0.015
+
+
+class TestFuseScatter:
+    """Scatter-formulation fusion agrees with the gather formulation."""
+
+    def _volumes(self, pose):
+        scene = simple_scene()
+        d = render.render_depth(scene, pose, INTR)
+        vol0 = tsdf.make_volume((64, 64, 64), 0.04, origin=(-1.25, -1.25, 0.75))
+        vg = tsdf.fuse(vol0, d, pose, INTR)
+        vs = tsdf.fuse_scatter(vol0, d, pose, INTR)
+        return vg, vs
+
+    def test_band_values_match_gather(self):
+        vg, vs = self._volumes(jnp.asarray(se3.identity()))
+        tg, wg = np.array(vg.tsdf), np.array(vg.weight)
+        ts, ws = np.array(vs.tsdf), np.array(vs.weight)
+        # Scatter covers the band only (no free space), so it touches far
+        # fewer voxels than gather; most of what it touches, gather touched
+        # too (the exceptions sit at silhouettes and frustum edges, where a
+        # band sample's voxel CENTER projects to a background/out-of-image
+        # pixel that the gather formulation rejects).
+        both = (ws > 0) & (wg > 0)
+        assert both.sum() > 0.7 * (ws > 0).sum()
+        # Inside the band (excluding the clipped rim where gather saturates
+        # to +-1 but the center-corrected sample may not) values agree.
+        core = both & (np.abs(ts) < 0.85) & (np.abs(tg) < 0.85)
+        assert core.sum() > 500
+        err = np.abs(ts[core] - tg[core])
+        assert np.percentile(err, 95) < 0.08, err.max()
+
+    def test_surface_extraction_matches(self):
+        pose = jnp.array(scenes.look_at_pose((0.3, 0.2, 0.9), (0, 0, 2.0)))
+        vg, vs = self._volumes(pose)
+        pg = tsdf.extract_surface_points(vg, capacity=4096)
+        ps = tsdf.extract_surface_points(vs, capacity=4096)
+        a = np.array(pg.points)[np.array(pg.mask)]
+        b = np.array(ps.points)[np.array(ps.mask)]
+        assert len(b) > 0.8 * len(a)
+        # Every scatter-surface point lies on the true SDF zero set.
+        scene = simple_scene()
+        dist = np.abs(np.array(scene(jnp.asarray(b))))
+        assert np.percentile(dist, 95) < 0.02
+
+    def test_multi_frame_weights(self):
+        pose = jnp.asarray(se3.identity())
+        scene = simple_scene()
+        d = render.render_depth(scene, pose, INTR)
+        vol = tsdf.make_volume((64, 64, 64), 0.04, origin=(-1.25, -1.25, 0.75))
+        v1 = tsdf.fuse_scatter(vol, d, pose, INTR)
+        v2 = tsdf.fuse_scatter(v1, d, pose, INTR)
+        w1, w2 = np.array(v1.weight), np.array(v2.weight)
+        # one weight unit per frame per hit voxel, same observation -> same value
+        assert np.all(w2[w1 > 0] == w1[w1 > 0] + 1)
+        np.testing.assert_allclose(
+            np.array(v2.tsdf)[w1 > 0], np.array(v1.tsdf)[w1 > 0], atol=1e-5
+        )
