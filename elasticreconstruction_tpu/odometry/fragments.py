@@ -43,6 +43,8 @@ class FragmentResult(NamedTuple):
     local_poses: jax.Array  # (K, 4, 4) camera-to-fragment poses (frame 0 = I)
     fitness: jax.Array  # (K,) per-frame tracking fitness
     rmse: jax.Array  # (K,) per-frame tracking rmse
+    obs_ratio: jax.Array  # (K,) translation observability (min/max eig of H_tt)
+    final_velocity: jax.Array  # (6,) body twist at the last frame (next seed)
 
 
 def _volume_origin(cfg: FragmentConfig) -> tuple[float, float, float]:
@@ -59,12 +61,17 @@ def build_fragment(
     depths: jax.Array,
     intr: cam.Intrinsics,
     cfg: FragmentConfig = FragmentConfig(),
+    init_velocity: jax.Array | None = None,
 ) -> FragmentResult:
     """Run frame-to-model odometry over ``depths (K, H, W)``.
 
     Frame 0 defines the fragment frame (pose = identity); each later frame is
     tracked against the fused model then fused in.  Returns the fragment
     surface cloud and all camera-to-fragment poses.
+
+    ``init_velocity`` seeds the constant-body-velocity prediction for frame 1
+    (the previous fragment's ``final_velocity`` — camera motion is continuous
+    across the fragment reset, so the twist carries over unchanged).
     """
     vol = _tsdf.make_volume(cfg.volume_shape, cfg.voxel_size, _volume_origin(cfg))
     vol = _tsdf.fuse(
@@ -76,25 +83,34 @@ def build_fragment(
         depth_min=cfg.depth_min,
         depth_max=cfg.depth_max,
     )
+    if init_velocity is None:
+        init_velocity = jnp.zeros(6, jnp.float32)
 
     def step(carry, depth):
-        vol, T_prev, T_prev2, prev_ok = carry
-        # Tracking seed: previous pose, optionally extrapolated by a DAMPED
-        # fraction of the last inter-frame twist (cfg.odometry.velocity_gain;
-        # 0 = KinFu's plain T_prev seed — full extrapolation is unstable, see
-        # OdometryConfig).  Only applied while tracking is healthy: while
-        # LOST, re-applying a junk velocity compounds geometrically, so the
-        # pose HOLDS until the scene is reacquired.
+        vol, T_prev, v_trusted, prev_ok = carry
+        # Tracking seed: constant-body-velocity prediction from the TRUSTED
+        # velocity.  The predicted pose is both the GN seed and the
+        # spectral-floor prior anchor inside track_frame: observable
+        # directions are re-solved from data, unobservable ones follow the
+        # prediction.  v_trusted is re-estimated ONLY on healthy frames
+        # (observability + fitness gates): re-estimating it through a
+        # degenerate stretch closes a double-integrator feedback loop in the
+        # null space and diverges (measured ~0.4 m/fragment in round 3).
         gain = cfg.odometry.velocity_gain
-        if gain > 0:
-            vel = se3.log(se3.inverse(T_prev2) @ T_prev)
-            T_extrap = T_prev @ se3.exp(gain * vel)
-            T_pred = jnp.where(prev_ok, T_extrap, T_prev)
-        else:
-            T_pred = T_prev
+        T_pred = T_prev @ se3.exp(gain * v_trusted) if gain > 0 else T_prev
         tr = track_frame(vol, depth, T_pred, intr, cfg.odometry)
         lost = tr.fitness < 1e-3
         tr = tr._replace(pose=jnp.where(lost, T_pred, tr.pose))
+        healthy = (
+            ~lost
+            & (tr.obs_ratio > cfg.odometry.healthy_obs_ratio)
+            & (tr.fitness > cfg.odometry.healthy_fitness)
+        )
+        # EMA over healthy frames (~10-frame horizon): a single frame's twist
+        # carries mm-scale noise, and a degenerate stretch replays the frozen
+        # velocity for its whole length — noise in it integrates linearly.
+        v_obs = se3.log(se3.inverse(T_prev) @ tr.pose)
+        v_trusted = jnp.where(healthy, 0.8 * v_trusted + 0.2 * v_obs, v_trusted)
         vol = _tsdf.fuse(
             vol,
             depth,
@@ -104,13 +120,27 @@ def build_fragment(
             depth_min=cfg.depth_min,
             depth_max=cfg.depth_max,
         )
-        return (vol, tr.pose, T_prev, ~lost), (tr.pose, tr.fitness, tr.rmse)
+        return (vol, tr.pose, v_trusted, ~lost), (
+            tr.pose,
+            tr.fitness,
+            tr.rmse,
+            tr.obs_ratio,
+        )
 
-    (vol, _, _, _), (poses, fit, rmse) = jax.lax.scan(
-        step, (vol, se3.identity(), se3.identity(), jnp.bool_(True)), depths[1:]
+    carry0 = (vol, se3.identity(), init_velocity, jnp.bool_(True))
+    (vol, T_last, v_last, _), (poses, fit, rmse, obs) = jax.lax.scan(
+        step, carry0, depths[1:]
     )
     all_poses = jnp.concatenate([se3.identity((1,)), poses], axis=0)
     all_fit = jnp.concatenate([jnp.ones((1,), jnp.float32), fit])
     all_rmse = jnp.concatenate([jnp.zeros((1,), jnp.float32), rmse])
+    all_obs = jnp.concatenate([jnp.ones((1,), jnp.float32), obs])
     cloud = _tsdf.extract_surface_points(vol, capacity=cfg.cloud_capacity)
-    return FragmentResult(cloud=cloud, local_poses=all_poses, fitness=all_fit, rmse=all_rmse)
+    return FragmentResult(
+        cloud=cloud,
+        local_poses=all_poses,
+        fitness=all_fit,
+        rmse=all_rmse,
+        obs_ratio=all_obs,
+        final_velocity=v_last,
+    )

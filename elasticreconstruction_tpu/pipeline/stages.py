@@ -39,8 +39,6 @@ from ..kernels import tsdf as tsdf_mod
 from ..odometry import build_fragment
 from ..posegraph import EdgeList, optimize_pose_graph
 from ..registration import register_pairs_batch
-from ..registration.infomat import information_matrix
-from ..elastic.correspondence import correspondences_for_edge
 from .config import PipelineConfig
 from .dataset import Dataset
 
@@ -62,12 +60,18 @@ def run_fragments(ds: Dataset, cfg: PipelineConfig) -> None:
     base = np.eye(4, dtype=np.float32)
     bases = []
     t0 = time.time()
+    # Trusted body-twist velocity carries ACROSS the fragment reset: camera
+    # motion is continuous, and a fragment that opens onto degenerate
+    # geometry needs the healthy prediction from its predecessor.
+    velocity = jnp.zeros(6, jnp.float32)
+    ocfg = cfg.fragment.odometry
     for f in range(nf):
         frames = ds.depth_chunk(f * K, K + 1)
         if frames.shape[0] < K + 1:  # pad final fragment (zero depth = no-op)
             pad = np.zeros((K + 1 - frames.shape[0],) + frames.shape[1:], np.float32)
             frames = np.concatenate([frames, pad])
-        res = build_fragment(jnp.asarray(frames), intr, cfg.fragment)
+        res = build_fragment(jnp.asarray(frames), intr, cfg.fragment, init_velocity=velocity)
+        velocity = res.final_velocity
         cloud = res.cloud
         m = np.array(cloud.mask)
         io_logfmt.write_pcd(
@@ -79,15 +83,45 @@ def run_fragments(ds: Dataset, cfg: PipelineConfig) -> None:
         io_logfmt.write_log(out / f"local_{f}.log", io_logfmt.Trajectory.from_matrices(local))
         bases.append(base.copy())
         base = base @ local[K]  # overlap frame chains the next fragment
-        _log(
-            "fragments",
-            "fragment built",
-            fragment=f,
-            points=int(m.sum()),
-            min_fitness=float(np.array(res.fitness)[1:].min()) if K > 0 else 1.0,
-        )
+        # Tracking-health artifact: per-fragment summary of the per-frame
+        # fitness / RMSE / translation-observability telemetry.  A fragment is
+        # SUSPECT when any frame tracked against effectively unobservable
+        # geometry or with poor support — downstream stages re-register its
+        # odometry edges and make them line-process-eligible (VERDICT r2 #1).
+        fit = np.array(res.fitness)[1:]
+        rmse = np.array(res.rmse)[1:]
+        obs = np.array(res.obs_ratio)[1:]
+        health = {
+            "fragment": f,
+            "min_fitness": float(fit.min()) if K > 0 else 1.0,
+            "max_rmse": float(rmse.max()) if K > 0 else 0.0,
+            "min_obs_ratio": float(obs.min()) if K > 0 else 1.0,
+            "frames_unhealthy": int(
+                np.sum((obs < ocfg.healthy_obs_ratio) | (fit < ocfg.healthy_fitness))
+            ),
+            "suspect": bool(
+                np.any(obs < ocfg.healthy_obs_ratio) or np.any(fit < ocfg.healthy_fitness)
+            ),
+        }
+        with open(out / f"health_{f}.json", "w") as hf:
+            json.dump(health, hf, indent=2)
+        _log("fragments", "fragment built", points=int(m.sum()), **health)
     io_logfmt.write_log(out / "fragments.log", io_logfmt.Trajectory.from_matrices(np.stack(bases)))
     _log("fragments", "done", num_fragments=nf, seconds=round(time.time() - t0, 2))
+
+
+def load_fragment_health(cfg: PipelineConfig, nf: int) -> list[dict]:
+    """Per-fragment tracking-health records (permissive default if absent)."""
+    out = cfg.p_fragments()
+    health = []
+    for f in range(nf):
+        p = out / f"health_{f}.json"
+        if p.exists():
+            with open(p) as hf:
+                health.append(json.load(hf))
+        else:
+            health.append({"fragment": f, "suspect": False})
+    return health
 
 
 def load_fragment_clouds(cfg: PipelineConfig) -> list[PointCloud]:
@@ -112,60 +146,60 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> None:
 
     ``all_pairs=False`` is BASELINE config 2 (odometry chain only): loop.log
     and loop.info are written empty so downstream stages run unchanged.
+
+    Throughput discipline (VERDICT r2 #5): every batch is QUEUED on device
+    and results are pulled to the host ONCE at the end of the stage — the
+    round-2 per-batch ``np.array`` pulls paid a host<->device round trip per
+    batch (23 ms RTT on the tunneled chip) and capped the achieved stage rate
+    at ~3 pairs/s vs the 73 pairs/s the same computation benches at.
     """
     out = cfg.p_registration()
     out.mkdir(parents=True, exist_ok=True)
     clouds = load_fragment_clouds(cfg)
     nf = len(clouds)
     bases = io_logfmt.read_log(cfg.p_fragments() / "fragments.log").matrices().astype(np.float32)
+    health = load_fragment_health(cfg, nf)
     t0 = time.time()
 
-    # Odometry edges: the chained base poses give the init, but raw odometry
-    # carries the within-fragment drift — refine each consecutive pair with
-    # point-to-plane ICP so the edge measurement reaches registration
-    # accuracy (the reference re-refines every edge in BuildCorrespondence —
-    # SURVEY.md §3.4); info matrix from the refined overlap.
-    from ..kernels import normals as _normals
-    from ..kernels import voxel_grid as _voxel
-    from ..registration.icp import icp_point_to_plane
+    from ..registration import (
+        edge_information_batch,
+        prep_fragments_batch,
+        refine_edges_batch,
+        register_prepped_batch,
+    )
 
-    odo_T, odo_info = [], []
     rcfg = cfg.registration
-    for f in range(nf - 1):
-        That0 = np.linalg.inv(bases[f]) @ bases[f + 1]
-        fine_i = _normals.estimate_normals_radius(
-            _voxel.voxel_downsample(clouds[f], rcfg.icp_voxel_size, rcfg.fine_capacity),
-            rcfg.icp_voxel_size * rcfg.normal_radius_factor,
+    all_clouds = jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
+    prepped = prep_fragments_batch(all_clouds, rcfg)
+
+    # Odometry edges: the chained base poses give the init, but raw odometry
+    # carries the within-fragment drift — refine every consecutive pair with
+    # ONE batched point-to-plane ICP over the prepped fine clouds (the
+    # reference re-refines each edge in BuildCorrespondence — SURVEY.md §3.4).
+    idx_i = jnp.arange(nf - 1, dtype=jnp.int32)
+    idx_j = idx_i + 1
+    init_T = jnp.asarray(
+        np.stack([np.linalg.inv(bases[f]) @ bases[f + 1] for f in range(nf - 1)]).astype(
+            np.float32
         )
-        fine_j = _voxel.voxel_downsample(clouds[f + 1], rcfg.icp_voxel_size, rcfg.fine_capacity)
-        ir = icp_point_to_plane(
-            fine_j,
-            fine_i,
-            jnp.asarray(That0),
-            max_correspondence_distance=rcfg.inlier_threshold * 2,
-            iterations=rcfg.icp_iterations,
-        )
-        # Trust region: odometry is locally reliable; reject refinements that
-        # slide far from the init (planar overlaps are point-to-plane
-        # degenerate and can drift unboundedly) or that matched poorly.
-        delta = np.array(se3.log(ir.transform @ jnp.linalg.inv(jnp.asarray(That0, dtype=jnp.float32))))
-        trust_ok = (
-            np.linalg.norm(delta[:3]) < 0.25
-            and np.linalg.norm(delta[3:]) < 0.25
-            and float(ir.fitness) > 0.2
-        )
-        That = np.array(ir.transform, np.float64) if trust_ok else That0.astype(np.float64)
-        p, q, m = correspondences_for_edge(
-            clouds[f],
-            clouds[f + 1],
-            jnp.eye(4),
-            jnp.asarray(That, dtype=jnp.float32),
-            max_distance=cfg.corres_max_distance * 2,
-            capacity=cfg.corres_capacity_per_edge,
-        )
-        info = information_matrix(p, m)
-        odo_T.append(That)
-        odo_info.append(np.array(info, np.float64))
+    )
+    ir, infos_ref = refine_edges_batch(prepped, idx_i, idx_j, init_T, rcfg)
+    # Trust region: odometry is locally reliable; reject refinements that
+    # slide far from the init (planar overlaps are point-to-plane degenerate
+    # and can drift unboundedly) or that matched poorly.
+    delta = se3.log(ir.transform @ jnp.linalg.inv(init_T))
+    trust_ok = np.array(
+        (jnp.linalg.norm(delta[:, :3], axis=-1) < 0.25)
+        & (jnp.linalg.norm(delta[:, 3:], axis=-1) < 0.25)
+        & (ir.fitness > 0.2)
+    )
+    That_all = jnp.where(trust_ok[:, None, None], ir.transform, init_T)
+    infos_init = edge_information_batch(prepped, idx_i, idx_j, init_T, rcfg)
+    odo_T = np.array(That_all, np.float64)
+    odo_info = np.array(
+        jnp.where(jnp.asarray(trust_ok)[:, None, None], infos_ref, infos_init), np.float64
+    )
+    odo_fitness = np.array(ir.fitness)
     io_logfmt.write_log(
         out / "odometry.log",
         io_logfmt.Trajectory(
@@ -179,21 +213,35 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> None:
         ),
     )
 
-    # Loop candidates: all non-adjacent pairs, batched through the jitted
-    # registrar (the reference farmed these across a cluster — SURVEY.md
-    # §3.2; dist.pair_sharding shards the same batches over chips).  Each
-    # fragment is prepped (downsample/normals/FPFH) exactly once; the pair
-    # loop only gathers prepped rows — the reference re-preprocessed both
-    # clouds inside every pair job.
-    from ..registration import prep_fragments_batch, register_prepped_batch
+    # Suspect odometry edges (tracking-failure repair path — VERDICT r2 #1c):
+    # an edge touching a fragment whose tracking health tripped, or whose
+    # chain refinement was rejected/poorly matched, cannot be hard-trusted.
+    # They are (a) recorded for the pose graph to make line-process-eligible,
+    # and (b) re-registered from scratch (FPFH+RANSAC, no odometry init) as
+    # additional loop candidates so the graph has an independent measurement.
+    suspect = [
+        f
+        for f in range(nf - 1)
+        if health[f].get("suspect", False)
+        or health[f + 1].get("suspect", False)
+        or not trust_ok[f]
+        or odo_fitness[f] < rcfg.min_fitness
+    ]
+    with open(out / "odometry_suspect.txt", "w") as sf:
+        for f in suspect:
+            sf.write(f"{f} {f + 1}\n")
 
+    # Loop candidates: all non-adjacent pairs (+ suspect consecutive pairs),
+    # batched through the jitted registrar (the reference farmed these across
+    # a cluster — SURVEY.md §3.2; dist.pair_sharding shards the same batches
+    # over chips).  Each fragment is prepped (downsample/normals/FPFH)
+    # exactly once; the pair loop only gathers prepped rows — the reference
+    # re-preprocessed both clouds inside every pair job.
     pairs = [(i, j) for i in range(nf) for j in range(i + 2, nf)] if all_pairs else []
-    results = []
+    pairs += [(f, f + 1) for f in suspect]
+    batch_results = []
     B = cfg.registration_batch
     key = jax.random.PRNGKey(cfg.seed)
-    if pairs:
-        all_clouds = jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
-        prepped = prep_fragments_batch(all_clouds, cfg.registration)
     for s in range(0, len(pairs), B):
         chunk = pairs[s : s + B]
         pad = B - len(chunk)
@@ -206,9 +254,13 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> None:
             keys,
             cfg.registration,
         )
-        for b in range(len(chunk)):
-            results.append(jax.tree.map(lambda x: np.array(x[b]), res))
-        _log("registration", "batch", done=min(s + B, len(pairs)), total=len(pairs))
+        batch_results.append((len(chunk), res))  # stays on device — no sync
+
+    results = []
+    for n_valid, res in batch_results:
+        host = jax.tree.map(np.array, res)  # single drain at stage end
+        for b in range(n_valid):
+            results.append(jax.tree.map(lambda x: x[b], host))
 
     accepted = [r for r in results if bool(r.success)]
     io_logfmt.write_log(
@@ -234,8 +286,12 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> None:
         "done",
         pairs=len(pairs),
         accepted=len(accepted),
+        odometry_edges=nf - 1,
+        suspect_odometry_edges=len(suspect),
         seconds=round(time.time() - t0, 2),
-        pairs_per_second=round(len(pairs) / max(time.time() - t0, 1e-9), 3),
+        pairs_per_second=round(
+            (len(pairs) + nf - 1) / max(time.time() - t0, 1e-9), 3
+        ),
     )
 
 
@@ -252,11 +308,27 @@ def run_posegraph(cfg: PipelineConfig) -> None:
     loop = io_logfmt.read_log(reg / "loop.log")
     loop_info = io_logfmt.read_info(reg / "loop.info")
 
+    # Suspect odometry edges (flagged by tracking health / rejected chain
+    # refinement in run_registration) are NOT hard-trusted: they enter the
+    # line process like loop edges, so a broken odometry measurement can be
+    # down-weighted instead of dragging the whole graph (VERDICT r2 weak #1 —
+    # round 2's robust_pgo bypassed the line process for every odometry edge).
+    suspect_path = reg / "odometry_suspect.txt"
+    suspect_edges: set[tuple[int, int]] = set()
+    if suspect_path.exists():
+        for line in suspect_path.read_text().splitlines():
+            if line.strip():
+                a, b = map(int, line.split())
+                suspect_edges.add((a, b))
+
     ii = [e.i for e in odo.entries] + [e.i for e in loop.entries]
     jj = [e.j for e in odo.entries] + [e.j for e in loop.entries]
     Ts = [e.transform for e in odo.entries] + [e.transform for e in loop.entries]
     infos = [e.info for e in odo_info.entries] + [e.info for e in loop_info.entries]
-    is_odo = [True] * len(odo.entries) + [False] * len(loop.entries)
+    is_odo = [(e.i, e.j) not in suspect_edges for e in odo.entries] + [False] * len(
+        loop.entries
+    )
+    n_odo = len(odo.entries)
     if not ii:
         # Single-fragment scene: nothing to optimize — pass the fragment base
         # pose straight through so downstream stages still run.
@@ -279,15 +351,17 @@ def run_posegraph(cfg: PipelineConfig) -> None:
     io_logfmt.write_log(out / "pose.log", io_logfmt.Trajectory.from_matrices(poses))
     kept = np.array(res.kept)
     with open(out / "kept_edges.txt", "w") as f:
-        for k in range(len(ii)):
-            if kept[k] and not is_odo[k]:
+        for k in range(n_odo, len(ii)):
+            if kept[k]:
                 f.write(f"{ii[k]} {jj[k]}\n")
     _log(
         "posegraph",
         "done",
         edges=len(ii),
         loops=len(loop.entries),
-        loops_kept=int(kept[len(odo.entries) :].sum()),
+        loops_kept=int(kept[n_odo:].sum()),
+        suspect_odometry=len(suspect_edges),
+        suspect_odometry_kept=int(kept[:n_odo][~np.array(is_odo[:n_odo])].sum()),
         seconds=round(time.time() - t0, 2),
     )
 
@@ -305,10 +379,15 @@ def run_optimize(
     edge_pairs = [(0 + f, f + 1) for f in range(len(clouds) - 1)]
     kept_path = cfg.p_posegraph() / "kept_edges.txt"
     if kept_path.exists():
+        seen = set(edge_pairs)
         with open(kept_path) as f:
             for line in f:
                 i, j = map(int, line.split())
-                edge_pairs.append((i, j))
+                # Re-registered suspect odometry pairs are consecutive and
+                # already present as chain edges — skip duplicates.
+                if (i, j) not in seen:
+                    edge_pairs.append((i, j))
+                    seen.add((i, j))
     t0 = time.time()
     corres = build_correspondences(
         clouds,

@@ -11,6 +11,8 @@ of the reference's cluster-distributed independent registration jobs).
 from . import features, icp, infomat, pair, ransac
 from .pair import (
     PreppedFragments,
+    edge_information_batch,
+    refine_edges_batch,
     RegistrationConfig,
     prep_fragments_batch,
     register_pair,
@@ -27,6 +29,8 @@ __all__ = [
     "PreppedFragments",
     "RegistrationConfig",
     "prep_fragments_batch",
+    "refine_edges_batch",
+    "edge_information_batch",
     "register_pair",
     "register_pairs_batch",
     "register_prepped_batch",

@@ -260,3 +260,58 @@ def register_pair(
         ),
     )
     return jax.tree.map(lambda x: x[0], res)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def refine_edges_batch(
+    prepped: PreppedFragments,
+    idx_i: jax.Array,
+    idx_j: jax.Array,
+    init_T: jax.Array,
+    config: RegistrationConfig = RegistrationConfig(),
+) -> tuple[_icp.ICPResult, jax.Array]:
+    """Refine trusted-init edges (odometry chain) in ONE batched computation.
+
+    The reference re-refines every consecutive edge with a full ICP pass
+    inside BuildCorrespondence (SURVEY.md §3.4); round 2 ran those 50 ICPs as
+    a sequential host loop on full clouds (~40% of the registration stage).
+    Batched over all edges on the prepped fine clouds, the chain refinement
+    costs the same as ONE loop-candidate batch.  Returns the batched ICP
+    result plus per-edge 6x6 information matrices evaluated at the refined
+    transforms (edge j-cloud points mapped into frame i).
+    """
+    from ..kernels import knn as _knn
+
+    take = lambda tree, ix: jax.tree.map(lambda x: x[ix], tree)
+    fine_i = take(prepped.fine, idx_i)
+    fine_j = take(prepped.fine, idx_j)
+    res = _icp.icp_point_to_plane_batch(
+        fine_j,
+        fine_i,
+        init_T,
+        max_correspondence_distance=config.inlier_threshold * 2,
+        iterations=config.icp_iterations,
+    )
+    info = edge_information_batch(prepped, idx_i, idx_j, res.transform, config)
+    return res, info
+
+
+@partial(jax.jit, static_argnames=("config",))
+def edge_information_batch(
+    prepped: PreppedFragments,
+    idx_i: jax.Array,
+    idx_j: jax.Array,
+    T: jax.Array,
+    config: RegistrationConfig = RegistrationConfig(),
+) -> jax.Array:
+    """Batched ``(E, 6, 6)`` information matrices at given edge transforms."""
+    from ..kernels import knn as _knn
+
+    take = lambda tree, ix: jax.tree.map(lambda x: x[ix], tree)
+    fine_i = take(prepped.fine, idx_i)
+    fine_j = take(prepped.fine, idx_j)
+    p = jax.vmap(se3.apply)(T, fine_j.points)
+    d2, _ = _knn.nearest_auto_batch(p, fine_i.points, fine_i.mask)
+    thr = config.inlier_threshold * 2
+    m = fine_j.mask & (d2 < thr * thr)
+    return jax.vmap(_infomat.information_matrix)(p, m)

@@ -23,7 +23,19 @@ ROOM_CENTER = (0.0, 1.5, 0.0)
 
 
 def livingroom_scene() -> S.SDF:
-    """A furnished room interior (watertight from the inside)."""
+    """A furnished room interior (watertight from the inside).
+
+    Wall coverage matters: augmented ICL-NUIM ``livingroom1`` (the scene this
+    stands in for — SURVEY.md §6) has furniture, curtains, windows, frames and
+    skirting on every wall, so frame-to-model odometry never faces a bare
+    plane for hundreds of frames.  Round 2's first cut left two walls blank
+    over ~56 deg of the orbit, which is a *harder* scene than the benchmark —
+    point-to-plane tracking there is information-theoretically blind to
+    in-plane motion (VERDICT r2 #1).  The v2 scene distributes wall-mounted
+    relief (door/window frames, pictures, radiator, baseboard) like the real
+    room; the deliberately bare-wall degenerate case lives on as a targeted
+    regression test (tests/test_degenerate_tracking.py).
+    """
     room = S.invert(S.box(ROOM_CENTER, ROOM_HALF))
     sofa_seat = S.rounded_box((-2.2, 0.35, 0.0), (0.45, 0.3, 1.0), 0.05)
     sofa_back = S.rounded_box((-2.65, 0.8, 0.0), (0.15, 0.5, 1.0), 0.05)
@@ -37,6 +49,36 @@ def livingroom_scene() -> S.SDF:
     chair = S.rounded_box((1.8, 0.45, 1.6), (0.3, 0.45, 0.3), 0.08)
     ottoman = S.rounded_box((-0.9, 0.25, -1.6), (0.35, 0.25, 0.35), 0.06)
     wall_art = S.box((2.95, 1.6, 0.5), (0.04, 0.4, 0.6))
+    # --- wall relief (v2): every wall carries features a real room has ---
+    # -x wall (x = -3): door frame + picture beside the sofa.
+    door_frame = S.subtract(
+        S.box((-2.97, 1.05, -1.5), (0.06, 1.05, 0.5)),
+        S.box((-2.95, 1.0, -1.5), (0.08, 0.95, 0.4)),
+    )
+    pic_minus_x = S.box((-2.96, 1.7, 1.3), (0.04, 0.35, 0.45))
+    # -z wall (z = -2.5): window frame + sill, radiator below, two pictures.
+    window_frame = S.subtract(
+        S.box((0.2, 1.6, -2.46), (0.8, 0.75, 0.05)),
+        S.box((0.2, 1.6, -2.44), (0.7, 0.65, 0.08)),
+    )
+    window_sill = S.box((0.2, 0.82, -2.42), (0.9, 0.03, 0.09))
+    radiator = S.rounded_box((0.2, 0.35, -2.4), (0.7, 0.3, 0.06), 0.03)
+    pic_minus_z_a = S.box((-1.7, 1.5, -2.46), (0.35, 0.45, 0.05))
+    pic_minus_z_b = S.box((1.9, 1.45, -2.46), (0.3, 0.4, 0.05))
+    sideboard = S.rounded_box((-1.8, 0.35, -2.2), (0.5, 0.35, 0.25), 0.03)
+    # +x wall (x = 3): tall bookcase + floor plant.
+    bookcase = S.box((2.85, 0.9, -0.6), (0.15, 0.9, 0.45))
+    plant_pot = S.cylinder_y((2.6, 0.15, 1.6), 0.18, 0.15)
+    plant_ball = S.sphere((2.6, 0.75, 1.6), 0.4)
+    # +z wall (z = 2.5): cabinet + picture flanking the shelves.
+    cabinet = S.box((1.9, 0.5, 2.3), (0.45, 0.5, 0.18))
+    pic_plus_z = S.box((-1.9, 1.5, 2.46), (0.4, 0.4, 0.05))
+    # Baseboard ring: a 8 cm skirting step along every wall (horizontal edge
+    # breaks the vertical in-plane direction everywhere).
+    baseboard = S.subtract(
+        S.box((0.0, 0.04, 0.0), (3.0, 0.08, 2.5)),
+        S.box((0.0, 0.05, 0.0), (2.96, 0.12, 2.46)),
+    )
     return S.union(
         room,
         sofa_seat,
@@ -51,6 +93,20 @@ def livingroom_scene() -> S.SDF:
         chair,
         ottoman,
         wall_art,
+        door_frame,
+        pic_minus_x,
+        window_frame,
+        window_sill,
+        radiator,
+        pic_minus_z_a,
+        pic_minus_z_b,
+        sideboard,
+        bookcase,
+        plant_pot,
+        plant_ball,
+        cabinet,
+        pic_plus_z,
+        baseboard,
     )
 
 
