@@ -68,8 +68,11 @@ def precision_recall(
             n_correct += 1
     n_gt = len(gt_map)
     return {
-        "precision": n_correct / n_proposed if n_proposed else 0.0,
-        "recall": n_correct / n_gt if n_gt else 0.0,
+        # Undefined ratios (no proposals / no gt edges) report None, not 0.0:
+        # "precision 0" claims every proposal was wrong; an odometry-only run
+        # proposes nothing (VERDICT r2 weak #7).
+        "precision": n_correct / n_proposed if n_proposed else None,
+        "recall": n_correct / n_gt if n_gt else None,
         "n_correct": n_correct,
         "n_proposed": n_proposed,
         "n_gt": n_gt,

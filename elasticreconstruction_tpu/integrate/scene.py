@@ -156,28 +156,48 @@ def integrate_frames_slac_scatter(
     intr: cam.Intrinsics,
     cfg: SceneConfig = SceneConfig(),
 ) -> _tsdf.TSDFVolume:
-    """Scatter twin of :func:`integrate_frames_slac` using the FORWARD warp.
+    """Scatter twin of :func:`integrate_frames_slac`.
 
-    Band samples go camera -> fragment-local (``local_poses[k]``) -> forward
-    lattice warp ``D`` -> world (``frag_poses[k]``) — exactly the optimizer's
-    geometry model ``T_i · D_i(p)`` (elastic/slac.py), with no
-    small-displacement inverse approximation: scattering follows the warp's
-    natural direction, where gathering had to invert it.
+    Band samples go camera -> fragment-local (``local_poses[k]``) -> FORWARD
+    lattice warp ``D`` -> world (``frag_poses[k]``) — the optimizer's geometry
+    model ``T_i · D_i(p)`` (elastic/slac.py) — to NOMINATE voxels; each hit
+    voxel's stored observation is then re-evaluated at its center through the
+    same inverse warp chain the gather twin uses, so the two paths agree
+    exactly on hit voxels (kernels.tsdf.scatter_update).
     """
+    from ..core import se3
     from ..elastic.lattice import deform
 
     def step(v, inp):
         depth, Tf, Lk, disp = inp
-        p_cam, obs, valid = _tsdf.band_samples(
+        p_cam, valid = _tsdf.band_samples(
             depth, intr, v.truncation, depth_min=cfg.depth_min, depth_max=cfg.depth_max
         )
         local = p_cam @ Lk[:3, :3].T + Lk[:3, 3]
         shp = local.shape
         warped = deform(lat, disp, local.reshape(-1, 3)).reshape(shp)
         p_world = warped @ Tf[:3, :3].T + Tf[:3, 3]
-        view_z = Tf[:3, :3] @ Lk[:3, 2]
+
+        Tf_inv = se3.inverse(Tf)
+        Ll_inv = se3.inverse(Lk)
+
+        def world_to_cam(pw):
+            loc = pw @ Tf_inv[:3, :3].T + Tf_inv[:3, 3]
+            s = loc.shape
+            flat = loc.reshape(-1, 3)
+            corrected = (2.0 * flat - deform(lat, disp, flat)).reshape(s)
+            return corrected @ Ll_inv[:3, :3].T + Ll_inv[:3, 3]
+
         v = _tsdf.scatter_update(
-            v, p_world, obs, valid, view_z, max_weight=cfg.max_weight
+            v,
+            p_world,
+            valid,
+            world_to_cam,
+            depth,
+            intr,
+            max_weight=cfg.max_weight,
+            depth_min=cfg.depth_min,
+            depth_max=cfg.depth_max,
         )
         return v, None
 

@@ -17,7 +17,7 @@ band, in [-1, 1]; +1 = free space in front of the surface, -1 = behind.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -135,13 +135,18 @@ def band_samples(
     num_samples: int = 9,
     depth_min: float = 0.1,
     depth_max: float = 6.0,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array]:
     """Truncation-band sample points along every pixel ray, camera frame.
 
     The scatter fusion's work-list: ``num_samples`` points per pixel spanning
-    z in [d - trunc, d + trunc].  Returns ``(p_cam (S, P, 3), obs (S, P),
-    valid (S, P))`` with P = H*W; ``obs`` is the normalized TSDF observation
-    at the sample (sdf = d - z, the same z-difference metric as :func:`fuse`).
+    z in [d - trunc, d + trunc].  Returns ``(p_cam (S, P, 3), valid (S, P))``
+    with P = H*W.  The samples only NOMINATE voxels — their fused observation
+    is re-evaluated exactly at each voxel's center (:func:`voxel_obs`), so
+    sample spacing only affects band COVERAGE, not values.  Samples step in
+    camera z, so rays oblique to the z axis (angle a) cover the band with
+    spacing trunc/((S-1)/2 * cos a): at the default S=9 that is ~1 voxel
+    head-on and can leave unhit voxels inside the band at grazing angles —
+    raise ``num_samples`` if full band coverage at silhouettes matters.
     """
     uv = cam.pixel_grid(intr)
     dirs = jnp.stack(
@@ -157,39 +162,69 @@ def band_samples(
     off = jnp.linspace(-1.0, 1.0, num_samples)[:, None] * truncation  # (S, 1)
     z = d[None, :] + off  # (S, P)
     p_cam = dirs[None] * z[..., None]
-    obs = jnp.broadcast_to(-off / truncation, z.shape)
     valid = valid_px[None, :] & (z > 1e-3)
-    return p_cam, obs, valid
+    return p_cam, valid
+
+
+def voxel_obs(
+    vol: TSDFVolume,
+    center_cam: jax.Array,
+    depth: jax.Array,
+    intr: cam.Intrinsics,
+    *,
+    depth_min: float = 0.1,
+    depth_max: float = 6.0,
+) -> tuple[jax.Array, jax.Array]:
+    """The gather formulation's per-voxel observation, evaluated at arbitrary
+    camera-frame points ``center_cam (..., 3)``: project, look up depth, z-
+    difference SDF.  Returns ``(obs normalized [-1, 1], valid)`` — BITWISE the
+    same rule as :func:`fuse_at_camera_points`, shared so the scatter path's
+    values match the gather path's exactly (round 2's first-order view-axis
+    correction missed the lateral depth-gradient term and broke parity near
+    curved surfaces — ADVICE r2 #1)."""
+    uv, in_img = cam.project(center_cam, intr)
+    u = jnp.clip(jnp.round(uv[..., 0]), 0, intr.width - 1).astype(jnp.int32)
+    v = jnp.clip(jnp.round(uv[..., 1]), 0, intr.height - 1).astype(jnp.int32)
+    d = depth[v, u]
+    sdf = d - center_cam[..., 2]
+    valid = in_img & (d >= depth_min) & (d <= depth_max) & (sdf >= -vol.truncation)
+    return jnp.clip(sdf / vol.truncation, -1.0, 1.0), valid
 
 
 def scatter_update(
     vol: TSDFVolume,
     p_world: jax.Array,
-    obs: jax.Array,
     valid: jax.Array,
-    view_z_world,
+    world_to_cam: "Callable[[jax.Array], jax.Array]",
+    depth: jax.Array,
+    intr: cam.Intrinsics,
     *,
     max_weight: float = 64.0,
+    depth_min: float = 0.1,
+    depth_max: float = 6.0,
 ) -> TSDFVolume:
     """Scatter band samples into the volume; one weight unit per hit voxel.
 
-    ``view_z_world``: camera z-axis in world coords (rows of ``pose[:3, 2]``)
-    or ``None``.  When given, each sample's observation is corrected from the
-    sample position to its voxel's CENTER along the view direction, so the
-    stored value matches what the gather formulation (:func:`fuse`) computes
-    at that center to first order.
+    Each sample nominates its nearest voxel; the stored observation is then
+    re-evaluated at that voxel's CENTER through ``world_to_cam`` (the same
+    warp the equivalent gather pass would use) + :func:`voxel_obs`, so hit
+    voxels receive exactly the gather formulation's value (duplicate samples
+    in a voxel average identical values).  Memory traffic: the sample-sized
+    gathers/scatters plus one dense read-modify-write of the volume for the
+    merge — per-frame traffic still scales with the voxel count, but the
+    expensive part (projective evaluation) scales with H*W*num_samples.
     """
     nx, ny, nz = vol.shape
     g = (p_world - vol.origin) / vol.voxel_size
     i = jnp.round(g).astype(jnp.int32)
     inb = jnp.all((i >= 0) & (i < jnp.array([nx, ny, nz])), axis=-1)
-    hit_ok = valid & inb
     ic = jnp.clip(i, 0, jnp.array([nx - 1, ny - 1, nz - 1]))
-    if view_z_world is not None:
-        center = vol.origin + ic.astype(jnp.float32) * vol.voxel_size
-        dz = jnp.sum((center - p_world) * view_z_world, axis=-1)
-        obs = obs - dz / vol.truncation
-    obs = jnp.clip(obs, -1.0, 1.0)
+    center_world = vol.origin + ic.astype(jnp.float32) * vol.voxel_size
+    center_cam = world_to_cam(center_world)
+    obs, obs_ok = voxel_obs(
+        vol, center_cam, depth, intr, depth_min=depth_min, depth_max=depth_max
+    )
+    hit_ok = valid & inb & obs_ok
     w = hit_ok.astype(jnp.float32)
     flat = (ic[..., 0] * ny + ic[..., 1]) * nz + ic[..., 2]
     flat = jnp.where(hit_ok, flat, nx * ny * nz).reshape(-1)  # spill slot
@@ -221,17 +256,15 @@ def fuse_scatter(
 ) -> TSDFVolume:
     """Scatter-formulation fusion: iterate PIXELS x band samples, not voxels.
 
-    Same weighted-average update as :func:`fuse` but only inside the
-    truncation band: samples along each pixel ray are scattered into their
-    voxels (segment-mean per voxel, then one weight unit per frame).  Memory
-    ops scale with H*W*num_samples instead of the voxel count — ~6x fewer for
-    fragment volumes, ~20x for scene volumes at 320x240 (docs/design_notes.md
-    §5) — and free space is skipped entirely.  The trade: free space is never
-    CARVED (+1 observations outside the band are dropped), so use it where
-    the volume feeds mesh extraction (the reference Integrate/main.cpp path,
-    SURVEY.md §3.5), not the odometry raycast, which wants wide +1 coverage.
+    Same per-voxel observation as :func:`fuse` (exact parity on hit voxels —
+    :func:`voxel_obs`) but only inside the truncation band.  The projective
+    work scales with H*W*num_samples instead of the voxel count, and free
+    space is skipped entirely.  The trade: free space is never CARVED (+1
+    observations outside the band are dropped), so use it where the volume
+    feeds mesh extraction (the reference Integrate/main.cpp path, SURVEY.md
+    §3.5), not the odometry raycast, which wants wide +1 coverage.
     """
-    p_cam, obs, valid = band_samples(
+    p_cam, valid = band_samples(
         depth,
         intr,
         vol.truncation,
@@ -243,7 +276,15 @@ def fuse_scatter(
     t = pose[:3, 3]
     p_world = p_cam @ R.T + t
     return scatter_update(
-        vol, p_world, obs, valid, pose[:3, 2], max_weight=max_weight
+        vol,
+        p_world,
+        valid,
+        lambda pw: (pw - t) @ R,
+        depth,
+        intr,
+        max_weight=max_weight,
+        depth_min=depth_min,
+        depth_max=depth_max,
     )
 
 

@@ -35,6 +35,12 @@ class PipelineConfig:
     scene_voxel_size: float = 0.015
     scene_max_shape: tuple[int, int, int] = (448, 256, 448)
     scene_block_overlap: int = 4
+    # Scatter-formulation scene fusion: projective work scales with pixels x
+    # band samples instead of voxels (9-18x faster per frame at production
+    # scene shapes on v5e, exact value parity on hit voxels — kernels.tsdf).
+    # The scene volume only feeds mesh extraction, so the lost free-space
+    # carving does not matter; set False to fall back to the gather twin.
+    scene_use_scatter: bool = True
     mesh_capacity_per_slab: int = 1 << 15
     # Registration batching
     registration_batch: int = 8

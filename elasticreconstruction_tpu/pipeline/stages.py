@@ -548,12 +548,19 @@ def run_integrate(ds: Dataset, cfg: PipelineConfig) -> None:
                 ds_.append(pos - rest)
             disp_per_frag = np.stack(ds_).astype(np.float32)
 
+    from ..integrate.scene import integrate_frames_scatter, integrate_frames_slac_scatter
+
+    fuse_rigid = integrate_frames_scatter if cfg.scene_use_scatter else integrate_frames
+    fuse_slac = (
+        integrate_frames_slac_scatter if cfg.scene_use_scatter else integrate_frames_slac
+    )
+
     def fuse_frames(vol, start, count):
         """Fuse contiguous frames [start, start+count) into vol."""
         depths = jnp.asarray(ds.depth_chunk(start, count))
         c = depths.shape[0]
         if use_lattice:
-            return integrate_frames_slac(
+            return fuse_slac(
                 vol,
                 depths,
                 jnp.asarray(np.stack([bases[fidx[start + k]] for k in range(c)])),
@@ -563,7 +570,7 @@ def run_integrate(ds: Dataset, cfg: PipelineConfig) -> None:
                 intr,
                 scfg,
             )
-        return integrate_frames(
+        return fuse_rigid(
             vol, depths, jnp.asarray(frame_poses[start : start + c]), intr, scfg
         )
 
@@ -665,7 +672,23 @@ def run_make_gt_benchmark(ds: Dataset, cfg: PipelineConfig) -> None:
         capacity=cfg.corres_capacity_per_edge,
     )
     gtb.write_gt_benchmark(out, edges, infos, len(clouds))
-    _log("evaluate", "gt benchmark", gt_edges=len(edges))
+    # Provenance gate (VERDICT r2 weak #6): the benchmark's overlap geometry
+    # comes from RECONSTRUCTED fragment clouds (gt poses, but within-fragment
+    # odometry shapes) — on a run with corrupted tracking the benchmark
+    # itself inherits the corruption.  Record which fragments were suspect so
+    # P/R numbers scored against this benchmark carry their caveat.
+    health = load_fragment_health(cfg, len(clouds))
+    suspects = [h["fragment"] for h in health if h.get("suspect", False)]
+    with open(out / "gt_benchmark_health.json", "w") as hf:
+        json.dump(
+            {"suspect_fragments": suspects, "num_fragments": len(clouds)}, hf, indent=2
+        )
+    _log(
+        "evaluate",
+        "gt benchmark",
+        gt_edges=len(edges),
+        suspect_fragments=len(suspects),
+    )
 
 
 def run_evaluate(ds: Dataset, cfg: PipelineConfig) -> dict:

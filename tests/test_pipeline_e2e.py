@@ -114,7 +114,7 @@ def test_full_pipeline(pipeline_dirs):
     assert "element vertex" in header
 
     metrics = stages.run_evaluate(ds, cfg)
-    assert metrics["ate_rmse"] < 0.06, f"ATE {metrics['ate_rmse']} too high (odom {odo_ate})"
+    assert metrics["ate_rmse"] < 0.02, f"ATE {metrics['ate_rmse']} too high (odom {odo_ate})"
     assert metrics["ate_rmse"] <= odo_ate * 1.05, (
         f"pipeline ({metrics['ate_rmse']:.4f}) should not be worse than raw odometry ({odo_ate:.4f})"
     )
@@ -152,4 +152,4 @@ def test_block_grid_integrate(pipeline_dirs):
     # Blocked integration covers the same scene: mesh size within 2%.
     assert abs(n_after - n_before) <= max(0.02 * n_before, 16), (n_before, n_after)
     metrics = stages.run_evaluate(ds, cfg2)
-    assert metrics["ate_rmse"] < 0.06
+    assert metrics["ate_rmse"] < 0.02

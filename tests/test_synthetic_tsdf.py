@@ -141,18 +141,51 @@ class TestFuseScatter:
         tg, wg = np.array(vg.tsdf), np.array(vg.weight)
         ts, ws = np.array(vs.tsdf), np.array(vs.weight)
         # Scatter covers the band only (no free space), so it touches far
-        # fewer voxels than gather; most of what it touches, gather touched
-        # too (the exceptions sit at silhouettes and frustum edges, where a
-        # band sample's voxel CENTER projects to a background/out-of-image
-        # pixel that the gather formulation rejects).
+        # fewer voxels than gather; everything it touches, gather touched too
+        # (scatter re-evaluates at voxel centers with gather's own validity
+        # rule — kernels.tsdf.voxel_obs).
         both = (ws > 0) & (wg > 0)
-        assert both.sum() > 0.7 * (ws > 0).sum()
-        # Inside the band (excluding the clipped rim where gather saturates
-        # to +-1 but the center-corrected sample may not) values agree.
-        core = both & (np.abs(ts) < 0.85) & (np.abs(tg) < 0.85)
-        assert core.sum() > 500
-        err = np.abs(ts[core] - tg[core])
-        assert np.percentile(err, 95) < 0.08, err.max()
+        assert both.sum() == (ws > 0).sum()
+        # EXACT parity on hit voxels: the scatter path evaluates the same
+        # projective observation at the same voxel centers.
+        np.testing.assert_allclose(ts[both], tg[both], atol=1e-6)
+
+    def test_slac_scatter_matches_gather(self):
+        """integrate_frames_slac_scatter agrees with integrate_frames_slac on
+        hit voxels, including through a nonzero lattice warp (ADVICE r2 #2)."""
+        from elasticreconstruction_tpu.elastic.lattice import Lattice
+        from elasticreconstruction_tpu.integrate.scene import (
+            SceneConfig,
+            integrate_frames_slac,
+            integrate_frames_slac_scatter,
+        )
+
+        scene = simple_scene()
+        pose = jnp.asarray(se3.identity())
+        d = render.render_depth(scene, pose, INTR)
+        lat = Lattice(resolution=4, length=4.0, origin=(-2.0, -2.0, 0.0))
+        key = jax.random.PRNGKey(3)
+        disp = 0.01 * jax.random.normal(key, (lat.num_vertices, 3), jnp.float32)
+        cfg = SceneConfig(volume_shape=(64, 64, 64), voxel_size=0.04, origin=(-1.25, -1.25, 0.75))
+        vol0 = tsdf.make_volume(cfg.volume_shape, cfg.voxel_size, cfg.origin)
+        args = (
+            d[None],
+            pose[None],
+            pose[None] * 0 + jnp.eye(4),
+            disp[None],
+            lat,
+            INTR,
+            cfg,
+        )
+        vg = integrate_frames_slac(vol0, *args)
+        vs = integrate_frames_slac_scatter(vol0, *args)
+        ws = np.array(vs.weight)
+        wg = np.array(vg.weight)
+        both = (ws > 0) & (wg > 0)
+        assert both.sum() > 0.95 * (ws > 0).sum()
+        np.testing.assert_allclose(
+            np.array(vs.tsdf)[both], np.array(vg.tsdf)[both], atol=1e-5
+        )
 
     def test_surface_extraction_matches(self):
         pose = jnp.array(scenes.look_at_pose((0.3, 0.2, 0.9), (0, 0, 2.0)))
