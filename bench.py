@@ -160,6 +160,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from elasticreconstruction_tpu.core.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     from elasticreconstruction_tpu.registration import (
         RegistrationConfig,
         prep_fragments_batch,

@@ -94,8 +94,13 @@ def optimize_fragments_sharded(
             state, corres_shard, prob, lat, cfg, nf, L, M, update_lattice
         )
 
-        def Jt(u, u_arap, u_anchor):
-            g_xi, g_d = Jt_local(u, u_arap * inv_n, u_anchor * inv_n)
+        def Jt(u, u_arap, u_prior, u_anchor):
+            # ARAP/prior rows carry per-shard sqrt weights scaled by the
+            # LOCAL correspondence count (elastic.slac), so their J.J^T
+            # contributions already sum to the global weight under psum; only
+            # the unscaled anchor rows (identical on every device) need the
+            # 1/ndev compensation.
+            g_xi, g_d = Jt_local(u, u_arap, u_prior, u_anchor * inv_n)
             return jax.lax.psum(g_xi, axis), jax.lax.psum(g_d, axis)
 
         def diag():

@@ -45,7 +45,18 @@ class SlacConfig(NamedTuple):
     origin: tuple[float, float, float] = (-1.5, -1.5, 0.0)
     outer_iterations: int = 5  # GN steps (reference --iteration)
     cg_iterations: int = 48
-    arap_weight: float = 1.0  # reference --weight (regularizer strength)
+    # Regularizer balance, DIMENSIONLESS: the ARAP term's total mass is
+    # arap_weight x the data term's mass (per-row weights are scaled by the
+    # valid-correspondence count over the ARAP row count).  Round 2 used the
+    # raw per-row weight (reference --weight semantics); at production scale
+    # 691k data rows outgunned ~3k ARAP rows 200:1 and the lattice drifted
+    # ~7 cm on distortion-free data, degrading poses (VERDICT r3 diagnosis).
+    arap_weight: float = 0.3
+    # Zero-displacement prior (same dimensionless scaling): pins the exact
+    # gauge null space — a constant lattice shift is invisible to BOTH the
+    # data term (poses compensate) and ARAP (differences unchanged) — and
+    # encodes SLAC's physical prior that depth distortion is small.
+    disp_prior_weight: float = 0.03
     anchor_weight: float = 1e6  # gauge prior on fragment 0 pose
     damping: float = 1e-6
 
@@ -127,7 +138,12 @@ def _make_operators(state, corres, prob, lat, cfg, nf, L, M, update_lattice):
     """Build J, J^T, diag(J^T J) closures around the current linearization."""
     r, a, b, Ri, Rj = _data_geometry(state, corres, prob, lat)
     wm = corres.mask.astype(jnp.float32)
-    sqrt_arap = jnp.sqrt(cfg.arap_weight)
+    cvalid = jnp.maximum(jnp.sum(wm), 1.0)
+    n_arap_rows = prob.arap_a.shape[0]  # 2E directed edges per lattice
+    w_arap = cfg.arap_weight * cvalid / (L * n_arap_rows)
+    sqrt_arap = jnp.sqrt(w_arap)
+    w_prior = cfg.disp_prior_weight * cvalid / (L * M)
+    sqrt_prior = jnp.sqrt(w_prior)
     rots = jax.vmap(lambda d: _arap.estimate_rotations(lat, d))(state.displacement)
     rest = lat.rest_positions()
     rest_e = rest[prob.arap_b] - rest[prob.arap_a]  # (2E, 3)
@@ -163,10 +179,14 @@ def _make_operators(state, corres, prob, lat, cfg, nf, L, M, update_lattice):
             u_arap = sqrt_arap * (z_d[:, prob.arap_b] - z_d[:, prob.arap_a])
         else:
             u_arap = jnp.zeros((L, prob.arap_a.shape[0], 3), jnp.float32)
+        if update_lattice:
+            u_prior = sqrt_prior * z_d
+        else:
+            u_prior = jnp.zeros((L, M, 3), jnp.float32)
         u_anchor = sqrt_anchor * z_xi[0]
-        return u, u_arap, u_anchor
+        return u, u_arap, u_prior, u_anchor
 
-    def Jt(u, u_arap, u_anchor):
+    def Jt(u, u_arap, u_prior, u_anchor):
         u = u * wm[:, None]
         gi = jnp.concatenate([u, jnp.cross(a, u)], axis=-1)  # (C, 6)
         gj = -jnp.concatenate([u, jnp.cross(b, u)], axis=-1)
@@ -191,6 +211,7 @@ def _make_operators(state, corres, prob, lat, cfg, nf, L, M, update_lattice):
             g_d = g_d - jax.vmap(
                 lambda x: jax.ops.segment_sum(x, prob.arap_a, num_segments=M)
             )(ua)
+            g_d = g_d + sqrt_prior * u_prior
         else:
             g_d = jnp.zeros((L, M, 3), jnp.float32)
         return g_xi, g_d
@@ -219,7 +240,7 @@ def _make_operators(state, corres, prob, lat, cfg, nf, L, M, update_lattice):
             ) + jax.ops.segment_sum(
                 jnp.ones_like(prob.arap_b, jnp.float32), prob.arap_b, num_segments=M
             )
-            d_d = d_d + cfg.arap_weight * deg[None, :, None]
+            d_d = d_d + w_arap * deg[None, :, None] + w_prior
         else:
             d_d = jnp.ones((L, M, 3), jnp.float32)
         return d_xi + cfg.damping, d_d + cfg.damping
@@ -230,14 +251,14 @@ def _make_operators(state, corres, prob, lat, cfg, nf, L, M, update_lattice):
     # Residual rows as J's row scaling produces them: data rows are masked by
     # wm inside Jt; ARAP rows carry sqrt(arap_weight) in J AND Jt, so the
     # residual passed to Jt must carry one factor itself.
-    residuals = (r, sqrt_arap * arap_r, jnp.zeros(6))
+    residuals = (r, sqrt_arap * arap_r, sqrt_prior * state.displacement, jnp.zeros(6))
     return J, Jt, diag, residuals, data_rmse
 
 
 def _pcg(J, Jt, diag, residuals, cfg):
     """Solve (J^T J) z = -J^T r with Jacobi preconditioning."""
-    r_data, r_arap, r_anchor = residuals
-    rhs_xi, rhs_d = Jt(-r_data, -r_arap, -r_anchor)
+    r_data, r_arap, r_prior, r_anchor = residuals
+    rhs_xi, rhs_d = Jt(-r_data, -r_arap, -r_prior, -r_anchor)
     d_xi, d_d = diag()
     inv_xi = 1.0 / jnp.maximum(d_xi, 1e-8)
     inv_d = 1.0 / jnp.maximum(d_d, 1e-8)
@@ -278,6 +299,45 @@ def _pcg(J, Jt, diag, residuals, cfg):
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_fragments"))
+def _gn_outer_step(
+    state: SlacState,
+    corres: CorresSet,
+    cfg: SlacConfig,
+    num_fragments: int,
+) -> tuple[SlacState, jax.Array]:
+    """One GN outer iteration (linearize -> PCG -> update); jitted alone so a
+    production-scale solve is MANY bounded device dispatches, not one long
+    XLA program — a 5x48-iteration solve over 750k correspondences in a
+    single computation ran past the tunneled TPU worker's execution watchdog
+    and killed the worker (round 3, config-4 nonrigid)."""
+    nf = num_fragments
+    lat = Lattice(cfg.resolution, cfg.length, cfg.origin)
+    L = _num_lattices(cfg.mode, nf)
+    M = lat.num_vertices
+    update_lattice = cfg.mode is not SlacMode.RIGID
+    prob = _precompute(lat, corres, cfg.mode, nf)
+    J, Jt, diag, residuals, rmse = _make_operators(
+        state, corres, prob, lat, cfg, nf, L, M, update_lattice
+    )
+    dz_xi, dz_d = _pcg(J, Jt, diag, residuals, cfg)
+    poses = se3.exp(dz_xi) @ state.poses
+    disp = state.displacement + (dz_d if update_lattice else 0.0)
+    return SlacState(poses, disp), rmse
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_fragments"))
+def _data_rmse(
+    state: SlacState, corres: CorresSet, cfg: SlacConfig, num_fragments: int
+) -> jax.Array:
+    lat = Lattice(cfg.resolution, cfg.length, cfg.origin)
+    prob = _precompute(lat, corres, cfg.mode, num_fragments)
+    r, *_ = _data_geometry(state, corres, prob, lat)
+    wm = corres.mask.astype(jnp.float32)
+    return jnp.sqrt(
+        jnp.sum(wm * jnp.sum(r * r, axis=-1)) / jnp.maximum(jnp.sum(wm), 1.0)
+    )
+
+
 def optimize_fragments(
     init_poses: jax.Array,
     corres: CorresSet,
@@ -285,36 +345,27 @@ def optimize_fragments(
     *,
     num_fragments: int | None = None,
 ) -> SlacResult:
-    """Run the FragmentOptimizer: GN over poses (+ lattices per mode)."""
+    """Run the FragmentOptimizer: GN over poses (+ lattices per mode).
+
+    The outer GN loop runs on the host (one jitted dispatch per iteration);
+    see :func:`_gn_outer_step` for why.
+    """
     nf = num_fragments if num_fragments is not None else init_poses.shape[0]
     lat = Lattice(cfg.resolution, cfg.length, cfg.origin)
     L = _num_lattices(cfg.mode, nf)
     M = lat.num_vertices
-    update_lattice = cfg.mode is not SlacMode.RIGID
-    prob = _precompute(lat, corres, cfg.mode, nf)
     state = SlacState(
         poses=init_poses, displacement=jnp.zeros((L, M, 3), jnp.float32)
     )
-
-    def outer(state, _):
-        J, Jt, diag, residuals, rmse = _make_operators(
-            state, corres, prob, lat, cfg, nf, L, M, update_lattice
-        )
-        dz_xi, dz_d = _pcg(J, Jt, diag, residuals, cfg)
-        poses = se3.exp(dz_xi) @ state.poses
-        disp = state.displacement + (dz_d if update_lattice else 0.0)
-        return SlacState(poses, disp), rmse
-
-    state, rmse_hist = jax.lax.scan(
-        outer, state, None, length=cfg.outer_iterations
-    )
-    _, _, _, _, final_rmse = _make_operators(
-        state, corres, prob, lat, cfg, nf, L, M, update_lattice
-    )
+    rmse_hist = []
+    for _ in range(cfg.outer_iterations):
+        state, rmse = _gn_outer_step(state, corres, cfg, nf)
+        rmse_hist.append(rmse)
+    final_rmse = _data_rmse(state, corres, cfg, nf)
     return SlacResult(
         poses=se3.orthonormalize(state.poses),
         displacement=state.displacement,
         lattice=lat,
-        data_rmse=rmse_hist,
+        data_rmse=jnp.stack(rmse_hist),
         final_rmse=final_rmse,
     )

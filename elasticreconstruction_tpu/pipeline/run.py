@@ -111,6 +111,9 @@ def config_from_args(args) -> PipelineConfig:
 
 
 def main(argv=None) -> int:
+    from ..core.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     args = build_parser().parse_args(argv)
     if args.stage == "synth":
         from ..core import camera as cam

@@ -169,7 +169,18 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> None:
     )
 
     rcfg = cfg.registration
-    all_clouds = jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
+    # Pad the fragment count to a bucket of 8: the prep program compiles per
+    # fragment-count shape, and a tunnel compile costs minutes (round 3
+    # profile: 367 s compile vs 1.2 s execution) — bucketing means scenes of
+    # 49..56 fragments share one cached executable.  Padded rows are never
+    # gathered (all pair indices are < nf).
+    pad_f = (-nf) % 8
+    all_clouds = jax.tree.map(
+        lambda *xs: jnp.concatenate(
+            [jnp.stack(xs)] + ([jnp.stack(xs[:1])] * pad_f if pad_f else []), axis=0
+        ),
+        *clouds,
+    )
     prepped = prep_fragments_batch(all_clouds, rcfg)
 
     # Odometry edges: the chained base poses give the init, but raw odometry

@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--raycast-steps", type=int, default=96)
     args = ap.parse_args()
 
+    from elasticreconstruction_tpu.core.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     import numpy as np
 
     from elasticreconstruction_tpu.core import camera as cam
