@@ -104,8 +104,22 @@ def main() -> None:
         registration_batch=16,
     )
 
+    # Each config records an "error" entry instead of killing the ladder: the
+    # tunneled TPU worker can crash/restart mid-run (observed round 3), and a
+    # partial milestones.json beats none.
+    def attempt(name: str, fn) -> None:
+        t0 = time.time()
+        try:
+            m = fn()
+            results[name] = {**m, "seconds": round(time.time() - t0, 1)}
+        except Exception as e:  # noqa: BLE001 — record and continue the ladder
+            results[name] = {
+                "error": f"{type(e).__name__}: {e}"[:300],
+                "seconds": round(time.time() - t0, 1),
+            }
+        _write(results, results_path)
+
     # ---- config 2: 10-fragment odometry chain (no loop closures) ------------
-    t0 = time.time()
     sub = root / "data_m2"
     (sub / "depth").mkdir(parents=True, exist_ok=True)
     n2 = 10 * base_cfg.frames_per_fragment + 1
@@ -119,47 +133,52 @@ def main() -> None:
     )
     ds2 = Dataset(sub)
     cfg2 = replace(base_cfg, data_dir=str(sub), out_dir=str(root / "out_m2"))
-    stages.run_fragments(ds2, cfg2)
-    stages.run_registration(cfg2, all_pairs=False)
-    stages.run_posegraph(cfg2)
-    stages.run_optimize(cfg2)
-    stages.run_integrate(ds2, cfg2)
-    m = stages.run_evaluate(ds2, cfg2)
-    results["config2_odometry_chain"] = {**m, "seconds": round(time.time() - t0, 1)}
-    _write(results, results_path)
+
+    def run_config2():
+        stages.run_fragments(ds2, cfg2)
+        stages.run_registration(cfg2, all_pairs=False)
+        stages.run_posegraph(cfg2)
+        stages.run_optimize(cfg2)
+        stages.run_integrate(ds2, cfg2)
+        return stages.run_evaluate(ds2, cfg2)
+
+    attempt("config2_odometry_chain", run_config2)
 
     # ---- config 3: full pipeline, rigid pose graph only ----------------------
-    t0 = time.time()
     cfg3 = base_cfg
     ds3 = Dataset(data)
-    stages.run_fragments(ds3, cfg3)
-    t_frag = time.time() - t0
-    t1 = time.time()
-    stages.run_registration(cfg3, all_pairs=True)
-    t_reg = time.time() - t1
-    t1 = time.time()
-    stages.run_posegraph(cfg3)
-    stages.run_optimize(cfg3)
-    stages.run_integrate(ds3, cfg3)
-    m = stages.run_evaluate(ds3, cfg3)
-    results["config3_full_rigid"] = {
-        **m,
-        "fragments_seconds": round(t_frag, 1),
-        "registration_seconds": round(t_reg, 1),
-        "rest_seconds": round(time.time() - t1, 1),
-        "seconds": round(time.time() - t0, 1),
-    }
-    _write(results, results_path)
+
+    def run_config3():
+        t0 = time.time()
+        stages.run_fragments(ds3, cfg3)
+        t_frag = time.time() - t0
+        t1 = time.time()
+        stages.run_registration(cfg3, all_pairs=True)
+        t_reg = time.time() - t1
+        t1 = time.time()
+        stages.run_posegraph(cfg3)
+        stages.run_optimize(cfg3)
+        stages.run_integrate(ds3, cfg3)
+        m = stages.run_evaluate(ds3, cfg3)
+        return {
+            **m,
+            "fragments_seconds": round(t_frag, 1),
+            "registration_seconds": round(t_reg, 1),
+            "rest_seconds": round(time.time() - t1, 1),
+        }
+
+    attempt("config3_full_rigid", run_config3)
 
     # ---- config 4: + FragmentOptimizer (slac, then nonrigid) ----------------
     for mode in ("slac", "nonrigid"):
-        t0 = time.time()
         cfg4 = replace(base_cfg, slac_mode=mode)
-        stages.run_optimize(cfg4)
-        stages.run_integrate(ds3, cfg4)
-        m = stages.run_evaluate(ds3, cfg4)
-        results[f"config4_{mode}"] = {**m, "seconds": round(time.time() - t0, 1)}
-        _write(results, results_path)
+
+        def run_config4(cfg4=cfg4):
+            stages.run_optimize(cfg4)
+            stages.run_integrate(ds3, cfg4)
+            return stages.run_evaluate(ds3, cfg4)
+
+        attempt(f"config4_{mode}", run_config4)
 
     print(json.dumps({"milestones": "done"}), flush=True)
 
