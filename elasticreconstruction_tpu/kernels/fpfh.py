@@ -93,27 +93,68 @@ def fpfh_radius(
     ids = jnp.arange(n, dtype=jnp.int32)
     qi = jnp.pad(ids, (0, pad), constant_values=-1).reshape(-1, block_size)
 
+    # Histogramming is reformulated as CUMULATIVE THRESHOLD SUMS: for bin
+    # boundaries t_1..t_10, S_i = sum_n w * [val >= t_i] is monotone in i and
+    # hist_i = S_i - S_{i+1} (S_0 = count, S_11 = 0).  This drops the int
+    # cast / clip / per-bin equality compares of the one-hot formulation, and
+    # — the big win — lets the theta feature skip arctan2 entirely: with
+    # x = u.n_q, y = w.n_q and theta = atan2(y, x), the indicator
+    # [theta > t] is a pure half-plane test on (x, y):
+    #   cross_t = y*cos(t) - x*sin(t)   ( = |v| sin(theta - t) )
+    #   t >= 0:  [theta > t] = (cross_t > 0) & (y >= 0)
+    #   t <  0:  [theta > t] = (cross_t > 0) | (y >= 0)
+    # (sector (t, t+pi) from the sign of sin(theta-t), the remainder of
+    # (t, pi] resolved by the sign of y; boundaries are measure-zero).  No
+    # transcendental ever touches the (B, N) tile.
+    import math
+
+    step_a = 2.0 / N_BINS
+    ts_lin = [-1.0 + i * step_a for i in range(1, N_BINS)]
+    ts_th = [-math.pi + i * (2.0 * math.pi / N_BINS) for i in range(1, N_BINS)]
+
+    def _hist_from_cums(cums):
+        s = jnp.stack(cums, axis=1)  # (B, 11) monotone non-increasing
+        return s - jnp.concatenate([s[:, 1:], jnp.zeros_like(s[:, :1])], axis=1)
+
     def spfh_block(args):
         qb, nb, qib = args  # (B, 3), (B, 3), (B,)
         q2 = jnp.sum(qb * qb, axis=1, keepdims=True)
         cross = jnp.dot(qb, pts.T, preferred_element_type=jnp.float32)
         d2 = jnp.maximum(q2 + p2[None, :] - 2.0 * cross, 0.0)  # (B, N)
         w = ((d2 + inf_row[None, :]) <= r2) & (qib[:, None] != ids[None, :])
-        wf = w.astype(jnp.float32)
-        alpha, phi, theta = _pair_features(
-            qb[:, None, :], nb[:, None, :], pts[None, :, :], nrm[None, :, :]
-        )
-        hists = []
-        for val, lo, hi in ((alpha, -1.0, 1.0), (phi, -1.0, 1.0), (theta, -jnp.pi, jnp.pi)):
-            b = jnp.clip(
-                (val - lo) / (hi - lo) * N_BINS, 0, N_BINS - 1e-4
-            ).astype(jnp.int32)
-            hists.append(
-                jnp.stack(
-                    [jnp.sum(wf * (b == i), axis=1) for i in range(N_BINS)], axis=1
-                )
-            )
-        return jnp.concatenate(hists, axis=1)  # (B, 33)
+
+        p = qb[:, None, :]
+        u = nb[:, None, :]
+        q = pts[None, :, :]
+        n_q = nrm[None, :, :]
+        dp = q - p
+        d = jnp.sqrt(jnp.maximum(jnp.sum(dp * dp, axis=-1), 0.0))
+        dpn = dp / jnp.where(d > 1e-9, d, 1.0)[..., None]
+        v = jnp.cross(dpn, u)
+        v_len = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        v = v / jnp.where(v_len > 1e-9, v_len, 1.0)
+        wv = jnp.cross(u, v)
+        alpha = jnp.sum(v * n_q, axis=-1)  # in [-1, 1]
+        phi = jnp.sum(u * dpn, axis=-1)  # in [-1, 1]
+        x = jnp.sum(u * n_q, axis=-1)  # theta = atan2(y, x), never evaluated
+        y = jnp.sum(wv * n_q, axis=-1)
+
+        count = jnp.sum(w.astype(jnp.float32), axis=1)
+
+        def cum(ind):
+            return jnp.sum((w & ind).astype(jnp.float32), axis=1)
+
+        cums_a = [count] + [cum(alpha >= t) for t in ts_lin]
+        cums_p = [count] + [cum(phi >= t) for t in ts_lin]
+        y_pos = y >= 0.0
+        cums_t = [count]
+        for t in ts_th:
+            half = (y * math.cos(t) - x * math.sin(t)) > 0.0
+            cums_t.append(cum((half & y_pos) if t >= 0.0 else (half | y_pos)))
+        return jnp.concatenate(
+            [_hist_from_cums(cums_a), _hist_from_cums(cums_p), _hist_from_cums(cums_t)],
+            axis=1,
+        )  # (B, 33)
 
     hist = jax.lax.map(spfh_block, (qp, qn, qi)).reshape(-1, FEATURE_DIM)[:n]
     spfh = _normalize_blocks(hist)

@@ -467,12 +467,20 @@ def bench_kernels(peaks, want=None):
         )
         dt = _time_scan(run, (cloud,), K)
         n2 = 4096 * 4096
+        # VPU op derivation for the threshold-sum kernel (kernels/fpfh.py
+        # spfh_block + mix_block), per pair, counting sqrt/rsqrt/div as ~8-10
+        # elementwise ops each (their TPU polynomial cost) and FMA as 2:
+        #   masks (2 passes)            ~8      pair frame (dp, d, dpn, v,
+        #   w_vec, 4 dots)             ~120     (two sqrt + two div chains)
+        #   alpha/phi cums 2x10x4       80      theta half-plane cums 10x7  70
+        #   mix rsqrt+select            ~11
+        # total ~290/pair; no transcendental (arctan2 eliminated).
         entries.append(_sol({
             "kernel": "fpfh.fpfh_radius",
             "shape": "N=4096, radius 0.25",
             "time_ms": round(dt, 3),
             "model": {
-                "vpu_ops": n2 * 120,         # pair features + 33 bin reduces (est.)
+                "vpu_ops": n2 * 290,
                 "mxu_flops": n2 * (12 + 66), # two d2 passes + SPFH mix matmul
             },
         }, peaks))
