@@ -34,7 +34,7 @@ _BIG = 3.0e38
 def _make_kernel(max_dist: float, num_q_blocks: int, num_r_blocks: int):
     thr2 = float(max_dist) * float(max_dist)
 
-    def kernel(p_ref, w_ref, r_ref, n_ref, inf_ref, out_ref, bd_ref, bq_ref, bn_ref, acc_ref):
+    def kernel(p_ref, w_ref, r_ref, rn_ref, inf_ref, out_ref, bd_ref, bqn_ref, acc_ref):
         i = pl.program_id(1)
         j = pl.program_id(2)
 
@@ -47,8 +47,7 @@ def _make_kernel(max_dist: float, num_q_blocks: int, num_r_blocks: int):
         @pl.when(j == 0)
         def _():
             bd_ref[:] = jnp.full_like(bd_ref, _BIG)
-            bq_ref[:] = jnp.zeros_like(bq_ref)
-            bn_ref[:] = jnp.zeros_like(bn_ref)
+            bqn_ref[:] = jnp.zeros_like(bqn_ref)
 
         p = p_ref[:]  # (BQ, 3) transformed src points
         r = r_ref[:]  # (BR, 3) dst points
@@ -62,19 +61,21 @@ def _make_kernel(max_dist: float, num_q_blocks: int, num_r_blocks: int):
         # data, and averaging two equidistant matches is benign for ICP).
         hot = (d2 <= dmin[:, None]).astype(jnp.float32)
         hot = hot / jnp.maximum(jnp.sum(hot, axis=1, keepdims=True), 1.0)
-        q_hit = jnp.dot(hot, r, preferred_element_type=jnp.float32)  # (BQ, 3)
-        n_hit = jnp.dot(hot, n_ref[:], preferred_element_type=jnp.float32)
+        # ONE narrow matmul gathers point AND normal: the one-hot pass costs a
+        # full K=block_r MXU stream regardless of output width (3 vs 6 of 128
+        # lanes), so fusing [r | n] into one (BR, 6) operand halves the
+        # dominant MXU cost of the kernel vs two separate gathers.
+        qn_hit = jnp.dot(hot, rn_ref[:], preferred_element_type=jnp.float32)  # (BQ, 6)
 
         better = dmin < bd_ref[:]
         bd_ref[:] = jnp.where(better, dmin, bd_ref[:])
-        bq_ref[:] = jnp.where(better[:, None], q_hit, bq_ref[:])
-        bn_ref[:] = jnp.where(better[:, None], n_hit, bn_ref[:])
+        bqn_ref[:] = jnp.where(better[:, None], qn_hit, bqn_ref[:])
 
         @pl.when(j == num_r_blocks - 1)
         def _():
             w = w_ref[:] * (bd_ref[:] < thr2).astype(jnp.float32)  # (BQ,)
-            q = bq_ref[:]
-            n = bn_ref[:]
+            q = bqn_ref[:, 0:3]
+            n = bqn_ref[:, 3:6]
             px, py, pz = p[:, 0], p[:, 1], p[:, 2]
             nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
             res = (
@@ -133,7 +134,9 @@ def normal_eqs_batch(
     pp = jnp.pad(p, ((0, 0), (0, pad_q), (0, 0))).reshape(b * nqp, 3)
     wp = jnp.pad(src_w.astype(jnp.float32), ((0, 0), (0, pad_q))).reshape(b * nqp)
     rp = jnp.pad(dst_pts, ((0, 0), (0, pad_r), (0, 0))).reshape(b * nrp, 3)
-    np_ = jnp.pad(dst_nrm, ((0, 0), (0, pad_r), (0, 0))).reshape(b * nrp, 3)
+    rnp = jnp.pad(
+        jnp.concatenate([dst_pts, dst_nrm], axis=-1), ((0, 0), (0, pad_r), (0, 0))
+    ).reshape(b * nrp, 6)
     inf_row = jnp.where(
         jnp.pad(dst_mask, ((0, 0), (0, pad_r)), constant_values=False), 0.0, _BIG
     ).astype(jnp.float32).reshape(b * nrp)
@@ -146,7 +149,7 @@ def normal_eqs_batch(
             pl.BlockSpec((block_q, 3), lambda bi, i, j: (bi * qb + i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q,), lambda bi, i, j: (bi * qb + i,), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_r, 3), lambda bi, i, j: (bi * rb + j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_r, 3), lambda bi, i, j: (bi * rb + j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, 6), lambda bi, i, j: (bi * rb + j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_r,), lambda bi, i, j: (bi * rb + j,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -155,15 +158,14 @@ def normal_eqs_batch(
         out_shape=jax.ShapeDtypeStruct((b, 8, 8), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((block_q,), jnp.float32),
-            pltpu.VMEM((block_q, 3), jnp.float32),
-            pltpu.VMEM((block_q, 3), jnp.float32),
+            pltpu.VMEM((block_q, 6), jnp.float32),
             pltpu.SMEM((8, 8), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(pp, wp, rp, np_, inf_row)
+    )(pp, wp, rp, rnp, inf_row)
 
     upper = out[:, 0:6, 0:6]
     H = upper + jnp.triu(upper, k=1).transpose(0, 2, 1)  # mirror the triangle

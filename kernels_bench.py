@@ -335,9 +335,9 @@ def bench_kernels(peaks, want=None):
             "shape": f"B={B} NQ={NQ} NR={NR}",
             "time_ms": round(dt, 3),
             "model": {
-                "hbm_bytes": B * (NQ * 16 + NR * 32),
+                "hbm_bytes": B * (NQ * 16 + NR * 44),
                 "vpu_ops": el * 12,      # d2 + one-hot build + min tracking (est.)
-                "mxu_flops": el * (6 + 12),  # K=3 distances + two one-hot gathers
+                "mxu_flops": el * (6 + 6),  # K=3 distances + ONE fused [r|n] one-hot gather
             },
             "model_note": "one-hot gathers counted as MXU work (indicator matmuls)",
         }, peaks))
