@@ -250,6 +250,7 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> None:
     # re-preprocessed both clouds inside every pair job.
     pairs = [(i, j) for i in range(nf) for j in range(i + 2, nf)] if all_pairs else []
     pairs += [(f, f + 1) for f in suspect]
+    t_prep = time.time() - t0  # prep + odometry refine (incl. any compiles)
     batch_results = []
     B = cfg.registration_batch
     key = jax.random.PRNGKey(cfg.seed)
@@ -292,6 +293,7 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> None:
             ]
         ),
     )
+    t_total = time.time() - t0
     _log(
         "registration",
         "done",
@@ -299,9 +301,13 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> None:
         accepted=len(accepted),
         odometry_edges=nf - 1,
         suspect_odometry_edges=len(suspect),
-        seconds=round(time.time() - t0, 2),
-        pairs_per_second=round(
-            (len(pairs) + nf - 1) / max(time.time() - t0, 1e-9), 3
+        seconds=round(t_total, 2),
+        prep_seconds=round(t_prep, 2),
+        pairs_per_second=round((len(pairs) + nf - 1) / max(t_total, 1e-9), 3),
+        # Steady-state rate of the pair loop alone (what a warm-cache /
+        # multi-scene run achieves; first run pays one-time XLA compiles).
+        pair_loop_pairs_per_second=round(
+            len(pairs) / max(t_total - t_prep, 1e-9), 3
         ),
     )
 
