@@ -14,6 +14,7 @@ each block normalized to sum to 100 (PCL convention).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -101,13 +102,13 @@ def fpfh_radius(
     # x = u.n_q, y = w.n_q and theta = atan2(y, x), the indicator
     # [theta > t] is a pure half-plane test on (x, y):
     #   cross_t = y*cos(t) - x*sin(t)   ( = |v| sin(theta - t) )
-    #   t >= 0:  [theta > t] = (cross_t > 0) & (y >= 0)
-    #   t <  0:  [theta > t] = (cross_t > 0) | (y >= 0)
-    # (sector (t, t+pi) from the sign of sin(theta-t), the remainder of
-    # (t, pi] resolved by the sign of y; boundaries are measure-zero).  No
+    #   t >= 0:  [theta >= t] = (cross_t >= 0) & (y >= 0)
+    #   t <  0:  [theta >= t] = (cross_t >= 0) | (y >= 0)
+    # (sector [t, t+pi) from the sign of sin(theta-t), the remainder of
+    # [t, pi] resolved by the sign of y).  cross_t >= 0 keeps the >= bin
+    # convention of the alpha/phi tests and the legacy one-hot path, so a
+    # theta exactly on a boundary lands in the upper bin in both paths.  No
     # transcendental ever touches the (B, N) tile.
-    import math
-
     step_a = 2.0 / N_BINS
     ts_lin = [-1.0 + i * step_a for i in range(1, N_BINS)]
     ts_th = [-math.pi + i * (2.0 * math.pi / N_BINS) for i in range(1, N_BINS)]
@@ -149,7 +150,7 @@ def fpfh_radius(
         y_pos = y >= 0.0
         cums_t = [count]
         for t in ts_th:
-            half = (y * math.cos(t) - x * math.sin(t)) > 0.0
+            half = (y * math.cos(t) - x * math.sin(t)) >= 0.0
             cums_t.append(cum((half & y_pos) if t >= 0.0 else (half | y_pos)))
         return jnp.concatenate(
             [_hist_from_cums(cums_a), _hist_from_cums(cums_p), _hist_from_cums(cums_t)],
