@@ -156,6 +156,60 @@ def _phase_timings(prepped, clouds, ii, jj, batch, cfg):
     }
 
 
+def _odometry_frames_per_second(on_tpu: bool) -> dict:
+    """Frame-to-model odometry rate at the production ladder recipe
+    (VERDICT r3 #6: fragments became the longest stage with no perf story).
+
+    Times ONE jitted build_fragment (50-frame track+fuse scan, 128^3 volume,
+    320x240 depth, 96-step raycast) at raycast_scale 1 and 2; readback-
+    synced, best of 2 timed calls after the compile call.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from elasticreconstruction_tpu.core import camera as cam
+    from elasticreconstruction_tpu.odometry import (
+        FragmentConfig,
+        OdometryConfig,
+        build_fragment,
+    )
+
+    K = 50 if on_tpu else 10
+    intr = cam.Intrinsics(fx=262.5, fy=262.5, cx=159.5, cy=119.5, width=320, height=240)
+    rng = np.random.default_rng(0)
+    # Analytic wavy-wall depth with per-frame lateral motion: content-
+    # realistic enough for timing (fixed-iteration kernels; cost is
+    # shape-determined, not value-determined).
+    u = (np.arange(320) - 159.5) / 262.5
+    v = (np.arange(240) - 119.5) / 262.5
+    uu, vv = np.meshgrid(u, v)
+    frames = []
+    for k in range(K + 1):
+        z = 2.0 + 0.3 * np.sin(3.0 * (uu + 0.01 * k)) * np.cos(2.0 * vv)
+        frames.append((z / np.sqrt(1 + uu**2 + vv**2)).astype(np.float32))
+    depths = jnp.asarray(np.stack(frames))
+
+    out = {}
+    for scale in (1, 2):
+        fcfg = FragmentConfig(
+            frames_per_fragment=K,
+            volume_shape=(128, 128, 128),
+            voxel_size=0.024,
+            cloud_capacity=1 << 16,
+            odometry=OdometryConfig(raycast_steps=96, raycast_scale=scale),
+        )
+        res = build_fragment(depths, intr, fcfg)  # compile
+        float(np.asarray(jnp.sum(res.local_poses) + jnp.sum(res.cloud.points[::64])))
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = build_fragment(depths, intr, fcfg)
+            float(np.asarray(jnp.sum(res.local_poses) + jnp.sum(res.cloud.points[::64])))
+            ts.append(time.perf_counter() - t0)
+        out[f"raycast_scale_{scale}"] = round(K / min(ts), 2)
+    return out
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -233,6 +287,8 @@ def main() -> None:
 
     phases = _phase_timings(prepped, clouds, ii, jj, batch, cfg)
 
+    odo = _odometry_frames_per_second(on_tpu)
+
     print(
         json.dumps(
             {
@@ -249,6 +305,7 @@ def main() -> None:
                 "readback_rtt_ms": round(rtt_ms, 2),
                 "success_rate_adjacent": float(adj.mean()) if len(adj) else None,
                 "phase_ms_per_batch": phases,
+                "odometry_frames_per_second": odo,
             }
         )
     )

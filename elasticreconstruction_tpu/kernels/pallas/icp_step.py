@@ -5,7 +5,14 @@ One Pallas kernel performs, per (batch, query-block, ref-block) tile:
   1. blocked squared distances on the MXU (as in :mod:`.nn`),
   2. per-row running argmin with the matched dst point AND normal gathered
      via a one-hot matmul (Mosaic has no cross-lane gather; an indicator
-     matmul against the ref tile does the same job on the MXU),
+     matmul against the ref tile does the same job on the MXU).  The
+     indicator values are exact in bf16 (0, 1, 1/ties), so the gather runs
+     as TWO bf16 matmuls against a hi/lo split of the [r | n] operand
+     (rn = hi + lo with hi = bf16(rn)): ~2^-16 relative reconstruction
+     error at the chip's bf16 rate, vs the f32 matmul the round-3 roofline
+     measured as a dominant cost.  The d² matmul itself MUST stay f32 —
+     q²+r²−2qr cancels to ~1e-4 m² from ~m²-scale terms and bf16 there
+     destroys the argmin (README precision note),
   3. on each row sweep's final ref block: the masked point-to-plane
      Gauss-Newton accumulation H += J^T W J, g += J^T W r with
      J = [n | p x n], reduced entry-by-entry into an (8, 8) SMEM scalar
@@ -34,7 +41,7 @@ _BIG = 3.0e38
 def _make_kernel(max_dist: float, num_q_blocks: int, num_r_blocks: int):
     thr2 = float(max_dist) * float(max_dist)
 
-    def kernel(p_ref, w_ref, r_ref, rn_ref, inf_ref, out_ref, bd_ref, bqn_ref, acc_ref):
+    def kernel(p_ref, w_ref, r_ref, rnh_ref, rnl_ref, inf_ref, out_ref, bd_ref, bqn_ref, acc_ref):
         i = pl.program_id(1)
         j = pl.program_id(2)
 
@@ -61,11 +68,22 @@ def _make_kernel(max_dist: float, num_q_blocks: int, num_r_blocks: int):
         # data, and averaging two equidistant matches is benign for ICP).
         hot = (d2 <= dmin[:, None]).astype(jnp.float32)
         hot = hot / jnp.maximum(jnp.sum(hot, axis=1, keepdims=True), 1.0)
-        # ONE narrow matmul gathers point AND normal: the one-hot pass costs a
-        # full K=block_r MXU stream regardless of output width (3 vs 6 of 128
-        # lanes), so fusing [r | n] into one (BR, 6) operand halves the
-        # dominant MXU cost of the kernel vs two separate gathers.
-        qn_hit = jnp.dot(hot, rn_ref[:], preferred_element_type=jnp.float32)  # (BQ, 6)
+        # ONE narrow gather pass for point AND normal ([r | n] fused to
+        # (BR, 6)), split hi/lo so both matmuls ride the bf16 MXU path (see
+        # module docstring).
+        hot16 = hot.astype(jnp.bfloat16)
+        # Precision.DEFAULT: the package globally forces matmul precision
+        # HIGHEST (f32 distance math needs it), which Mosaic rejects for
+        # bf16 operands; these matmuls are exact-by-construction bf16.
+        qn_hit = jnp.dot(
+            hot16, rnh_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        ) + jnp.dot(
+            hot16, rnl_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (BQ, 6)
 
         better = dmin < bd_ref[:]
         bd_ref[:] = jnp.where(better, dmin, bd_ref[:])
@@ -137,6 +155,8 @@ def normal_eqs_batch(
     rnp = jnp.pad(
         jnp.concatenate([dst_pts, dst_nrm], axis=-1), ((0, 0), (0, pad_r), (0, 0))
     ).reshape(b * nrp, 6)
+    rn_hi = rnp.astype(jnp.bfloat16)
+    rn_lo = (rnp - rn_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     inf_row = jnp.where(
         jnp.pad(dst_mask, ((0, 0), (0, pad_r)), constant_values=False), 0.0, _BIG
     ).astype(jnp.float32).reshape(b * nrp)
@@ -149,6 +169,7 @@ def normal_eqs_batch(
             pl.BlockSpec((block_q, 3), lambda bi, i, j: (bi * qb + i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q,), lambda bi, i, j: (bi * qb + i,), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_r, 3), lambda bi, i, j: (bi * rb + j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, 6), lambda bi, i, j: (bi * rb + j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_r, 6), lambda bi, i, j: (bi * rb + j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_r,), lambda bi, i, j: (bi * rb + j,), memory_space=pltpu.VMEM),
         ],
@@ -165,7 +186,7 @@ def normal_eqs_batch(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(pp, wp, rp, rnp, inf_row)
+    )(pp, wp, rp, rn_hi, rn_lo, inf_row)
 
     upper = out[:, 0:6, 0:6]
     H = upper + jnp.triu(upper, k=1).transpose(0, 2, 1)  # mirror the triangle

@@ -30,6 +30,13 @@ class OdometryConfig(NamedTuple):
     depth_min: float = 0.1
     depth_max: float = 6.0
     raycast_steps: int = 192
+    # Model-map downscale: raycast the model at 1/raycast_scale resolution
+    # and associate full-res pixels against it.  Raycast is the per-frame
+    # gather-bound dominant kernel (kernels_bench: 0.12 G random gathers/s,
+    # ~rays x steps gathers); scale=2 quarters its cost while the data term
+    # keeps every depth pixel — only the model SAMPLING gets sparser, and
+    # projective association already rounds to the nearest model pixel.
+    raycast_scale: int = 1
     damping: float = 1e-6
     min_support: float = 50.0  # matched pixels below which the GN update is skipped
     max_step: float = 0.5  # per-iteration |delta| clamp (rad / m) — trust region
@@ -184,10 +191,11 @@ def track_frame(
     levels only shrink the data term — same trick as KinFu, one raycast per
     frame.
     """
+    m_intr = intr.scaled(1.0 / cfg.raycast_scale) if cfg.raycast_scale > 1 else intr
     model = rc.raycast(
         vol,
         init_pose,
-        intr,
+        m_intr,
         depth_min=cfg.depth_min,
         depth_max=cfg.depth_max,
         num_steps=cfg.raycast_steps,
@@ -206,7 +214,7 @@ def track_frame(
     for lvl in range(cfg.levels - 1, -1, -1):  # coarse -> fine
         iters = cfg.iterations[min(lvl, len(cfg.iterations) - 1)]
         T, n_ok, rmse, obs = _gn_level(
-            depths[lvl], intrs[lvl], model, init_pose, intr, T, init_pose, iters, cfg
+            depths[lvl], intrs[lvl], model, init_pose, m_intr, T, init_pose, iters, cfg
         )
         if lvl == 0:
             n_valid = jnp.maximum(jnp.sum((depths[0] > 0).astype(jnp.float32)), 1.0)

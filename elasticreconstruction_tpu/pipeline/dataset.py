@@ -52,6 +52,13 @@ class Dataset:
         self.intrinsics = read_intrinsics(self.root / "intrinsics.json")
         gt = self.root / "gt.log"
         self.gt_poses = io_logfmt.read_log(gt).matrices().astype(np.float32) if gt.exists() else None
+        dp = self.root / "distortion.json"
+        if dp.exists():
+            from ..synthetic.distortion import DepthDistortion
+
+            self.distortion = DepthDistortion.from_json(dp.read_text())
+        else:
+            self.distortion = None
 
     def __len__(self) -> int:
         return len(self.depth_paths)
@@ -82,21 +89,35 @@ def generate_synthetic(
     start_angle: float = 0.0,
     seed: int = 0,
     depth_noise: float = 0.0,
+    distortion=None,
 ) -> "Dataset":
-    """Render a synthetic sequence to the reference dataset layout."""
+    """Render a synthetic sequence to the reference dataset layout.
+
+    ``distortion``: optional :class:`synthetic.distortion.DepthDistortion`
+    applied to every rendered depth map (before sensor noise) — the CVPR'14
+    SLAC input regime.  The field's parameters are spilled to
+    ``distortion.json`` so evaluation can score recovered lattices against
+    the exact injected ground truth.
+    """
     import jax
     import jax.numpy as jnp
 
     from ..synthetic import render, scenes
+    from ..synthetic import distortion as dist_mod
 
     if intr is None:
         intr = cam.Intrinsics(fx=160.0, fy=160.0, cx=79.5, cy=59.5, width=160, height=120)
     root = Path(root)
     (root / "depth").mkdir(parents=True, exist_ok=True)
-    if scene == "livingroom":
-        sdf_scene = scenes.livingroom_scene()
-    else:
+    scene_fns = {
+        "livingroom": scenes.livingroom_scene,
+        "livingroom_bare": lambda: scenes.livingroom_scene(bare_minus_z=True),
+        "livingroom2": scenes.livingroom2_scene,
+        "office": scenes.office_scene,
+    }
+    if scene not in scene_fns:
         raise ValueError(f"unknown synthetic scene {scene!r}")
+    sdf_scene = scene_fns[scene]()
     if trajectory == "pendulum":
         poses = scenes.pendulum_trajectory(
             num_frames, radius=radius, height=height, amplitude=amplitude, start_angle=start_angle
@@ -109,9 +130,14 @@ def generate_synthetic(
         raise ValueError(f"unknown trajectory {trajectory!r}")
     rng = np.random.default_rng(seed)
     chunk = 16
+    if distortion is not None:
+        distort = jax.jit(lambda d: dist_mod.apply_depth(distortion, d, intr))
     for s in range(0, num_frames, chunk):
         ps = jnp.asarray(poses[s : s + chunk])
-        depths = np.array(render.render_sequence(sdf_scene, ps, intr, max_depth=6.0))
+        depths = render.render_sequence(sdf_scene, ps, intr, max_depth=6.0)
+        if distortion is not None:
+            depths = jax.vmap(distort)(depths)
+        depths = np.array(depths)
         if depth_noise > 0:
             noise = rng.normal(0, depth_noise, size=depths.shape).astype(np.float32)
             depths = np.where(depths > 0, np.maximum(depths + noise * depths, 0.05), 0.0)
@@ -119,4 +145,6 @@ def generate_synthetic(
             write_depth_png(root / "depth" / f"{s + k:06d}.png", depths[k])
     write_intrinsics(root / "intrinsics.json", intr)
     io_logfmt.write_log(root / "gt.log", io_logfmt.Trajectory.from_matrices(poses))
+    if distortion is not None:
+        (root / "distortion.json").write_text(distortion.to_json())
     return Dataset(root)

@@ -141,7 +141,7 @@ def load_fragment_clouds(cfg: PipelineConfig) -> list[PointCloud]:
 # ------------------------------------------------------------- registration
 
 
-def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> None:
+def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> dict:
     """Odometry-edge refinement + (optionally) all-pairs loop candidates.
 
     ``all_pairs=False`` is BASELINE config 2 (odometry chain only): loop.log
@@ -301,9 +301,7 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> None:
         ),
     )
     t_total = time.time() - t0
-    _log(
-        "registration",
-        "done",
+    stats = dict(
         pairs=len(pairs),
         accepted=len(accepted),
         odometry_edges=nf - 1,
@@ -322,6 +320,8 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> None:
             else None
         ),
     )
+    _log("registration", "done", **stats)
+    return stats
 
 
 # ----------------------------------------------------------------- posegraph
@@ -400,7 +400,7 @@ def run_posegraph(cfg: PipelineConfig) -> None:
 
 def run_optimize(
     cfg: PipelineConfig, *, spill_corres: bool = False, spill_deformed: bool = False
-) -> None:
+) -> dict:
     out = cfg.p_slac()
     out.mkdir(parents=True, exist_ok=True)
     clouds = load_fragment_clouds(cfg)
@@ -445,7 +445,7 @@ def run_optimize(
     if cfg.slac_mode == "none":
         io_logfmt.write_log(out / "pose_slac.log", io_logfmt.Trajectory.from_matrices(poses))
         _log("optimize", "skipped (mode=none)")
-        return
+        return {"mode": "none"}
     scfg = cfg.slac_config()
     res = optimize_fragments(jnp.asarray(poses), corres, scfg, num_fragments=len(clouds))
     io_logfmt.write_log(
@@ -474,14 +474,14 @@ def run_optimize(
             io_logfmt.write_xyzn(
                 out / f"deformed_{f}.xyzn", warped[m], np.array(c.normals)[m]
             )
-    _log(
-        "optimize",
-        "done",
+    stats = dict(
         mode=cfg.slac_mode,
         rmse_before=float(res.data_rmse[0]),
         rmse_after=float(res.final_rmse),
         seconds=round(time.time() - t0, 2),
     )
+    _log("optimize", "done", **stats)
+    return stats
 
 
 # ------------------------------------------------------------------ integrate

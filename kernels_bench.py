@@ -189,6 +189,48 @@ def calibrate():
     dt = _time_scan(vpu, (xb,), K * ITERS)  # per-loop-iteration time
     peaks["peak_vpu_tflops"] = 4 * 2 * GRID * BQ * BL / (dt * 1e-3) / 1e12
 
+    # VPU compare/select rate: the FPFH threshold-sum kernel is dominated by
+    # `where(x > t, a, b)`-shaped work, which issues at a different rate than
+    # the FMA chains above — modeling it in FMA units made the kernel appear
+    # to beat its own roofline by 3.5x (round 3 artifact).  Same Pallas
+    # pattern, 4 independent compare+select chains per element.
+    def cmp_kernel(x_ref, o_ref):
+        x = x_ref[:]
+
+        def body(k, accs):
+            a, b, c, d = accs
+            t = 0.5 + 1e-4 * k
+            return (
+                jnp.where(a > t, a * 1.0000001, a + 1e-4),
+                jnp.where(b > t, b * 1.0000002, b + 1e-4),
+                jnp.where(c > t, c * 1.0000003, c + 1e-4),
+                jnp.where(d > t, d * 1.0000004, d + 1e-4),
+            )
+
+        a, b, c, d = jax.lax.fori_loop(0, ITERS, body, (x, x + 1e-5, x + 2e-5, x + 3e-5))
+        o_ref[:] = (a + b) + (c + d)
+
+    pcc = lambda v: pl.pallas_call(
+        cmp_kernel,
+        grid=(GRID,),
+        in_specs=[pl.BlockSpec((BQ, BL), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BQ, BL), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((GRID * BQ, BL), jnp.float32),
+    )(v)
+
+    @jax.jit
+    def vpu_cmp(x, seed):
+        def body(c, _):
+            return pcc(c), ()
+
+        c, _ = jax.lax.scan(body, x + seed * 1e-9, None, length=K)
+        return c[0, :8]
+
+    dt = _time_scan(vpu_cmp, (xb,), K * ITERS)
+    # One "where-op" = compare + select (the two branch updates are counted
+    # as the consumer's own FMA mass, not here).
+    peaks["peak_vpu_where_gops"] = 4 * GRID * BQ * BL / (dt * 1e-3) / 1e9
+
     # Random 32-bit gather rates: HBM-scale table (64 MB — raycast's TSDF
     # volume) and VMEM-scale table (1 MB — fuse's depth map).
     _progress("calibrate: gather")
@@ -221,7 +263,13 @@ def _sol(entry, peaks):
     times = {
         "hbm_ms": model.get("hbm_bytes", 0) / (peaks["peak_bw_gbs"] * 1e9) * 1e3,
         "vpu_ms": model.get("vpu_ops", 0) / (peaks["peak_vpu_tflops"] * 1e12) * 1e3,
+        "vpu_where_ms": model.get("vpu_where_ops", 0)
+        / (peaks.get("peak_vpu_where_gops", 1e12) * 1e9)
+        * 1e3,
         "mxu_ms": model.get("mxu_flops", 0) / (peaks["peak_mxu_f32_tflops"] * 1e12) * 1e3,
+        "mxu_bf16_ms": model.get("mxu_bf16_flops", 0)
+        / (peaks["peak_mxu_bf16_tflops"] * 1e12)
+        * 1e3,
         "gather_hbm_ms": model.get("gathers_hbm", 0) / (peaks["peak_gather_hbm_geps"] * 1e9) * 1e3,
         "gather_vmem_ms": model.get("gathers_vmem", 0) / (peaks["peak_gather_vmem_geps"] * 1e9) * 1e3,
     }
@@ -335,11 +383,54 @@ def bench_kernels(peaks, want=None):
             "shape": f"B={B} NQ={NQ} NR={NR}",
             "time_ms": round(dt, 3),
             "model": {
-                "hbm_bytes": B * (NQ * 16 + NR * 44),
-                "vpu_ops": el * 12,      # d2 + one-hot build + min tracking (est.)
-                "mxu_flops": el * (6 + 6),  # K=3 distances + ONE fused [r|n] one-hot gather
+                "hbm_bytes": B * (NQ * 16 + NR * 56),
+                "vpu_ops": el * 8,       # d2 epilogue + min tracking (est.)
+                "vpu_where_ops": el * 4, # one-hot compare/cast/merge mass
+                "mxu_flops": el * 6,     # K=3 f32 distance matmul
+                "mxu_bf16_flops": el * 24,  # hi/lo [r|n] one-hot gathers (2 matmuls)
             },
-            "model_note": "one-hot gathers counted as MXU work (indicator matmuls)",
+            "model_note": "one-hot gathers ride the bf16 MXU (hi/lo split)",
+        }, peaks))
+
+    if _w("icp"):
+        # ---- Production ICP step (what registration/icp.py actually runs) ----
+        # The fused Pallas kernel above is the opt-in variant; the default
+        # TPU path is pallas-NN + XLA index gathers + masked einsums
+        # (icp.py _step_batch) — it measured FASTER on v5e because the
+        # one-hot gather matmuls cost more than the 2x(B*NQ) HBM row
+        # gathers they replace.  This entry rooflines the path production
+        # uses, per GN iteration at the production pair shape.
+        from elasticreconstruction_tpu.registration import icp as _icp
+        from elasticreconstruction_tpu.core import se3 as _se3
+
+        dnrm2 = jnp.asarray(rng.normal(size=(B, NR, 3)).astype(np.float32))
+        dnrm2 = dnrm2 / jnp.linalg.norm(dnrm2, axis=-1, keepdims=True)
+        w2 = jnp.ones((B, NQ), bool)
+        Tid = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+        K = 16
+
+        def one_step(k, q, r, n, m, T):
+            qk = q + k.astype(jnp.float32) * 1e-6
+            Tn, _, (n_in, rmse) = _icp._step_batch(qk, w2, r, n, m, T, 0.075, 1e-6)
+            return Tn, n_in, rmse
+
+        run = scanned(
+            lambda k, q, r, n, m, T: one_step(k, q, r, n, m, T),
+            lambda out: jnp.sum(out[0]) + jnp.sum(out[1]) + jnp.sum(out[2]),
+            K,
+        )
+        dt = _time_scan(run, (q, r, dnrm2, msk, Tid), K)
+        entries.append(_sol({
+            "kernel": "icp.step_production",
+            "shape": f"B={B} NQ={NQ} NR={NR} (pallas-NN + XLA gather path)",
+            "time_ms": round(dt, 3),
+            "model": {
+                "hbm_bytes": B * (NQ * 12 + NR * 28 + NQ * 8),
+                "vpu_ops": el * 8,           # NN d2 epilogue + running argmin
+                "mxu_flops": el * 6,         # K=3 f32 distance matmul
+                "gathers_hbm": B * NQ * 6 * 2,  # q and n row gathers (3 f32 each)
+            },
+            "model_note": "per GN iteration; J/H/g einsums are O(B*NQ), negligible",
         }, peaks))
 
     if _w("fuse"):
@@ -467,20 +558,22 @@ def bench_kernels(peaks, want=None):
         )
         dt = _time_scan(run, (cloud,), K)
         n2 = 4096 * 4096
-        # VPU op derivation for the threshold-sum kernel (kernels/fpfh.py
-        # spfh_block + mix_block), per pair, counting sqrt/rsqrt/div as ~8-10
-        # elementwise ops each (their TPU polynomial cost) and FMA as 2:
-        #   masks (2 passes)            ~8      pair frame (dp, d, dpn, v,
-        #   w_vec, 4 dots)             ~120     (two sqrt + two div chains)
-        #   alpha/phi cums 2x10x4       80      theta half-plane cums 10x7  70
-        #   mix rsqrt+select            ~11
-        # total ~290/pair; no transcendental (arctan2 eliminated).
+        # Two-resource model for the threshold-sum kernel (kernels/fpfh.py
+        # spfh_block + mix_block), per pair.  FMA-class ops (counting
+        # sqrt/rsqrt/div at their ~4-6-op polynomial cost): pair frame —
+        # dp, d², sqrt, dpn, two crosses, two normalizations, four dots
+        # ≈ 66; theta half-plane prologues 10×3 = 30; mix epilogue ≈ 6
+        # → ~100.  Compare/select ops (scored against the separately
+        # calibrated where-op peak — FMA units overstated them 3.5x in the
+        # round-3 artifact): masks 2, alpha/phi thresholds 20, theta
+        # cmp+combine ≈ 21, masked-cum selects 33, mix select 1 → ~77.
         entries.append(_sol({
             "kernel": "fpfh.fpfh_radius",
             "shape": "N=4096, radius 0.25",
             "time_ms": round(dt, 3),
             "model": {
-                "vpu_ops": n2 * 290,
+                "vpu_ops": n2 * 100,
+                "vpu_where_ops": n2 * 77,
                 "mxu_flops": n2 * (12 + 66), # two d2 passes + SPFH mix matmul
             },
         }, peaks))
@@ -559,7 +652,24 @@ def main():
         peaks = {k: float(v) for k, v in out["calibration"].items()}
         want = None if args.section in ("all", "kernels") else {args.section}
         entries = bench_kernels(peaks, want)
-        old = {e["kernel"]: e for e in out.get("kernels", [])}
+        # Merge into the existing file (sections run separately through the
+        # tunnel) — but PURGE entries the current harness no longer emits:
+        # round 3 shipped a stale round-2 raycast entry (impossible 59x over
+        # SoL, old 8-gather model) precisely because the merge kept it.
+        known = {
+            "pallas_nn.nearest_batch",
+            "pallas_icp.normal_eqs_batch",
+            "icp.step_production",
+            "tsdf.fuse[fragment]",
+            "tsdf.fuse[scene]",
+            "tsdf.fuse_scatter[fragment]",
+            "tsdf.fuse_scatter[scene]",
+            "raycast.raycast[96steps]",
+            "raycast.raycast[192steps]",
+            "fpfh.fpfh_radius",
+            "voxel_grid.voxel_downsample",
+        }
+        old = {e["kernel"]: e for e in out.get("kernels", []) if e["kernel"] in known}
         for e in entries:
             old[e["kernel"]] = e
         out["kernels"] = list(old.values())
