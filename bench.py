@@ -115,6 +115,8 @@ def _phase_timings(prepped, clouds, ii, jj, batch, cfg):
             src, dst, init,
             max_correspondence_distance=cfg.inlier_threshold,
             iterations=cfg.icp_iterations,
+            coarse_iterations=cfg.icp_coarse_iterations,
+            coarse_stride=cfg.icp_coarse_stride,
         )
 
     @jax.jit

@@ -44,12 +44,28 @@ def read_intrinsics(path) -> cam.Intrinsics:
 
 
 class Dataset:
-    """A directory of depth frames + intrinsics (+ optional gt trajectory)."""
+    """Depth frames + intrinsics (+ optional gt trajectory).
+
+    Two layouts (SURVEY.md §3.1 — the reference consumes depth-PNG
+    directories or ``.oni`` recordings): a directory of 16-bit depth PNGs
+    with a side-car ``intrinsics.json``, or a single self-describing
+    ``stream.erts`` container (core/stream.py — the streaming-ingestion
+    equivalent).  The stream wins when both are present.
+    """
 
     def __init__(self, root: str | os.PathLike):
         self.root = Path(root)
-        self.depth_paths = sorted((self.root / "depth").glob("*.png"))
-        self.intrinsics = read_intrinsics(self.root / "intrinsics.json")
+        stream_path = self.root / "stream.erts"
+        if stream_path.exists():
+            from ..core.stream import StreamReader
+
+            self.stream = StreamReader(stream_path)
+            self.depth_paths = []
+            self.intrinsics = cam.Intrinsics(**self.stream.header["intrinsics"])
+        else:
+            self.stream = None
+            self.depth_paths = sorted((self.root / "depth").glob("*.png"))
+            self.intrinsics = read_intrinsics(self.root / "intrinsics.json")
         gt = self.root / "gt.log"
         self.gt_poses = io_logfmt.read_log(gt).matrices().astype(np.float32) if gt.exists() else None
         dp = self.root / "distortion.json"
@@ -61,14 +77,20 @@ class Dataset:
             self.distortion = None
 
     def __len__(self) -> int:
+        if self.stream is not None:
+            return len(self.stream)
         return len(self.depth_paths)
 
     def depth(self, k: int) -> np.ndarray:
+        if self.stream is not None:
+            return self.stream.depth(k)
         return read_depth_png(self.depth_paths[k])
 
     def depth_chunk(self, start: int, count: int) -> np.ndarray:
         """Threaded native batch decode (SURVEY.md §7 hard-parts #4: keep the
         chips fed from host cores); falls back to sequential PIL."""
+        if self.stream is not None:
+            return self.stream.depth_chunk(start, count)
         from ..native import loader
 
         paths = self.depth_paths[start : min(start + count, len(self))]

@@ -90,7 +90,7 @@ def _step_batch(src_pts, src_mask, dst_pts, dst_nrm, dst_mask, T, max_dist, damp
     return T_new, delta, (n_in, rmse)
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@partial(jax.jit, static_argnames=("iterations", "coarse_iterations", "coarse_stride"))
 def icp_point_to_plane_batch(
     src: PointCloud,
     dst: PointCloud,
@@ -99,11 +99,21 @@ def icp_point_to_plane_batch(
     max_correspondence_distance: float = 0.075,
     iterations: int = 30,
     damping: float = 1e-6,
+    coarse_iterations: int = 0,
+    coarse_stride: int = 4,
 ) -> ICPResult:
     """Batched refine: ``src``/``dst`` carry ``(B, N, 3)`` arrays, init ``(B, 4, 4)``.
 
-    ``dst`` must carry normals.  Runs exactly ``iterations`` GN steps
-    (static; XLA-friendly) — converged steps become cheap no-ops numerically.
+    ``dst`` must carry normals.  Runs up to ``iterations`` GN steps
+    (static; XLA-friendly) with a batch-global early exit.
+
+    ``coarse_iterations > 0`` prepends a coarse phase on every
+    ``coarse_stride``-th src point: per-iteration cost is dominated by the
+    O(NQ·NR) correspondence search, and the early iterations only need
+    enough residuals to point the 6-dof solve the right way — the fine
+    phase then starts near the optimum and its early exit fires in a few
+    steps.  The returned fitness/rmse always come from the full-density
+    fine phase.
     """
 
     b = init_transform.shape[0]
@@ -120,40 +130,50 @@ def icp_point_to_plane_batch(
     # |delta|^2 threshold: |delta| = 1e-5 rad/m per step — far below any voxel
     # size, and above the f32 GN noise floor (1e-12 would never trigger).
     tol2 = jnp.float32(1e-10)
-    probe_iters = min(5, iterations)
     hopeless_fitness = 0.05  # way below any acceptance threshold
 
-    n_src = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32), axis=-1), 1.0)
+    def run_phase(src_pts, src_mask, max_iters, T0):
+        probe_iters = min(5, max_iters)
+        n_src = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32), axis=-1), 1.0)
 
-    def cond(state):
-        it, _, _, _, active = state
-        return (it < iterations) & active
+        def cond(state):
+            it, _, _, _, active = state
+            return (it < max_iters) & active
 
-    def body(state):
-        it, T, _, _, _ = state
-        T_new, delta, stats = _step_batch(
-            src.points,
-            src.mask,
-            dst.points,
-            dst.normals,
-            dst.mask,
-            T,
-            max_correspondence_distance,
-            damping,
+        def body(state):
+            it, T, _, _, _ = state
+            T_new, delta, stats = _step_batch(
+                src_pts,
+                src_mask,
+                dst.points,
+                dst.normals,
+                dst.mask,
+                T,
+                max_correspondence_distance,
+                damping,
+            )
+            converged = jnp.sum(delta * delta, axis=-1) <= tol2
+            hopeless = (it + 1 >= probe_iters) & (stats[0] / n_src < hopeless_fitness)
+            active = jnp.any(~(converged | hopeless))
+            return (it + 1, T_new, stats[0], stats[1], active)
+
+        init = (
+            jnp.int32(0),
+            T0,
+            jnp.zeros(b, jnp.float32),
+            jnp.full(b, jnp.inf, jnp.float32),
+            jnp.bool_(True),
         )
-        converged = jnp.sum(delta * delta, axis=-1) <= tol2
-        hopeless = (it + 1 >= probe_iters) & (stats[0] / n_src < hopeless_fitness)
-        active = jnp.any(~(converged | hopeless))
-        return (it + 1, T_new, stats[0], stats[1], active)
+        _, T, n_in, rmse, _ = jax.lax.while_loop(cond, body, init)
+        return T, n_in, rmse, n_src
 
-    init = (
-        jnp.int32(0),
-        init_transform,
-        jnp.zeros(b, jnp.float32),
-        jnp.full(b, jnp.inf, jnp.float32),
-        jnp.bool_(True),
-    )
-    _, T_final, n_in, rmse, _ = jax.lax.while_loop(cond, body, init)
+    T0 = init_transform
+    if coarse_iterations > 0 and coarse_stride > 1:
+        T0, _, _, _ = run_phase(
+            src.points[:, ::coarse_stride], src.mask[:, ::coarse_stride],
+            coarse_iterations, T0,
+        )
+    T_final, n_in, rmse, n_src = run_phase(src.points, src.mask, iterations, T0)
     return ICPResult(
         transform=T_final,
         fitness=n_in / n_src,

@@ -53,6 +53,13 @@ class RegistrationConfig(NamedTuple):
     # NN cost per stride step at no measurable accuracy cost.  The dst stays
     # dense — it is the matching TARGET and sets the correspondence accuracy.
     icp_src_stride: int = 2
+    # Coarse-to-fine iteration schedule: the first icp_coarse_iterations run
+    # on every icp_coarse_stride-th (already strided) src point — early GN
+    # steps only need enough residuals to aim the 6-dof solve, and the
+    # per-iteration cost is the O(NQ*NR) correspondence search.  The fine
+    # phase starts near the optimum so its early exit fires in a few steps.
+    icp_coarse_iterations: int = 12
+    icp_coarse_stride: int = 4
     min_inliers: int = 12
     min_fitness: float = 0.25  # min fraction of src points matched after ICP
 
@@ -211,6 +218,8 @@ def _register_core(
         rr.transform,
         max_correspondence_distance=cfg.inlier_threshold,
         iterations=cfg.icp_iterations,
+        coarse_iterations=cfg.icp_coarse_iterations,
+        coarse_stride=cfg.icp_coarse_stride,
     )
 
     # Information matrix over src points expressed in the target (i) frame,
@@ -291,6 +300,8 @@ def refine_edges_batch(
         init_T,
         max_correspondence_distance=config.inlier_threshold * 2,
         iterations=config.icp_iterations,
+        coarse_iterations=config.icp_coarse_iterations,
+        coarse_stride=config.icp_coarse_stride,
     )
     info = edge_information_batch(prepped, idx_i, idx_j, res.transform, config)
     return res, info

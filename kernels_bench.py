@@ -149,25 +149,24 @@ def calibrate():
     dt = _time_scan(mm16, (a16,), K)
     peaks["peak_mxu_bf16_tflops"] = 2 * m**3 / (dt * 1e-3) / 1e12
 
-    # VPU f32 FMA rate: 4 independent FMA chains per element (hides ALU
-    # latency) x 64 loop iterations on a VMEM-resident block.
+    # VPU f32 FMA rate: 8 independent FMA chains per element (hides ALU
+    # latency — 4 chains measured latency-bound, understating the peak and
+    # making where-dominated kernels look impossibly fast against it) x 64
+    # loop iterations on a VMEM-resident block.
     _progress("calibrate: vpu")
     ITERS, BQ, BL, GRID, K = 64, 256, 1024, 64, 8
+    NCH = 8
 
     def fma_kernel(x_ref, o_ref):
         x = x_ref[:]
 
         def body(_, accs):
-            a, b, c, d = accs
-            return (
-                a * 1.0000001 + 1e-7,
-                b * 1.0000002 + 1e-7,
-                c * 1.0000003 + 1e-7,
-                d * 1.0000004 + 1e-7,
-            )
+            return tuple(a * (1.0 + 1e-7 * (k + 1)) + 1e-7 for k, a in enumerate(accs))
 
-        a, b, c, d = jax.lax.fori_loop(0, ITERS, body, (x, x + 1e-5, x + 2e-5, x + 3e-5))
-        o_ref[:] = (a + b) + (c + d)
+        accs = jax.lax.fori_loop(
+            0, ITERS, body, tuple(x + 1e-5 * k for k in range(NCH))
+        )
+        o_ref[:] = sum(accs)
 
     pc = lambda v: pl.pallas_call(
         fma_kernel,
@@ -187,28 +186,27 @@ def calibrate():
         return c[0, :8]
 
     dt = _time_scan(vpu, (xb,), K * ITERS)  # per-loop-iteration time
-    peaks["peak_vpu_tflops"] = 4 * 2 * GRID * BQ * BL / (dt * 1e-3) / 1e12
+    peaks["peak_vpu_tflops"] = NCH * 2 * GRID * BQ * BL / (dt * 1e-3) / 1e12
 
     # VPU compare/select rate: the FPFH threshold-sum kernel is dominated by
     # `where(x > t, a, b)`-shaped work, which issues at a different rate than
     # the FMA chains above — modeling it in FMA units made the kernel appear
     # to beat its own roofline by 3.5x (round 3 artifact).  Same Pallas
-    # pattern, 4 independent compare+select chains per element.
+    # pattern, 8 independent compare+select chains per element.
     def cmp_kernel(x_ref, o_ref):
         x = x_ref[:]
 
         def body(k, accs):
-            a, b, c, d = accs
             t = 0.5 + 1e-4 * k
-            return (
-                jnp.where(a > t, a * 1.0000001, a + 1e-4),
-                jnp.where(b > t, b * 1.0000002, b + 1e-4),
-                jnp.where(c > t, c * 1.0000003, c + 1e-4),
-                jnp.where(d > t, d * 1.0000004, d + 1e-4),
+            return tuple(
+                jnp.where(a > t, a * (1.0 + 1e-7 * (c + 1)), a + 1e-4)
+                for c, a in enumerate(accs)
             )
 
-        a, b, c, d = jax.lax.fori_loop(0, ITERS, body, (x, x + 1e-5, x + 2e-5, x + 3e-5))
-        o_ref[:] = (a + b) + (c + d)
+        accs = jax.lax.fori_loop(
+            0, ITERS, body, tuple(x + 1e-5 * k for k in range(NCH))
+        )
+        o_ref[:] = sum(accs)
 
     pcc = lambda v: pl.pallas_call(
         cmp_kernel,
@@ -229,7 +227,7 @@ def calibrate():
     dt = _time_scan(vpu_cmp, (xb,), K * ITERS)
     # One "where-op" = compare + select (the two branch updates are counted
     # as the consumer's own FMA mass, not here).
-    peaks["peak_vpu_where_gops"] = 4 * GRID * BQ * BL / (dt * 1e-3) / 1e9
+    peaks["peak_vpu_where_gops"] = NCH * GRID * BQ * BL / (dt * 1e-3) / 1e9
 
     # Random 32-bit gather rates: HBM-scale table (64 MB — raycast's TSDF
     # volume) and VMEM-scale table (1 MB — fuse's depth map).
@@ -428,7 +426,9 @@ def bench_kernels(peaks, want=None):
                 "hbm_bytes": B * (NQ * 12 + NR * 28 + NQ * 8),
                 "vpu_ops": el * 8,           # NN d2 epilogue + running argmin
                 "mxu_flops": el * 6,         # K=3 f32 distance matmul
-                "gathers_hbm": B * NQ * 6 * 2,  # q and n row gathers (3 f32 each)
+                # q and n row gathers: a contiguous 12-byte row costs ~2
+                # random-access units, not 6 independent 32-bit loads.
+                "gathers_hbm": B * NQ * 2 * 2,
             },
             "model_note": "per GN iteration; J/H/g einsums are O(B*NQ), negligible",
         }, peaks))
