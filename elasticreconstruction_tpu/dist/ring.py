@@ -11,13 +11,15 @@ and at ring step s device d registers its resident block against the block
 that originated at device (d+s) mod D.  Peak per-device prep memory is
 2·F/D fragments (resident + traveling) instead of F.
 
-Pair coverage: global pair (a, b) with owner(a)=d, owner(b)=d' is computed
-at step s=(d'-d) mod D on device d AND mirrored at step (d-d') mod D on
-device d'; the ``b > a + 1`` upper-triangle mask keeps exactly one of the
-two (the device owning the smaller id), so results match the replicated
-all-pairs enumeration pair-for-pair.  Half the lanes at mirrored steps are
-masked work — the straightforward next optimization is to walk only
-ceil(D/2) steps and keep both orderings, at the cost of a result shuffle.
+Pair coverage: global pair (a, b) with owner(a)=A, owner(b)=B sits at ring
+separation s=(B-A) mod D; it is reachable from A at step s and from B at
+step D-s.  The walk runs only steps 0..D//2 — each unordered block pair is
+computed exactly ONCE (for even D the mutual s=D/2 step is kept on the
+lower-base side), half the register work of a full walk whose mirrored
+steps were fully masked.  When the traveling block wrapped to lower global
+ids, a per-lane role swap puts the smaller-id fragment first, so keys,
+roles, and results stay bitwise parity with the replicated enumeration
+(tests/test_ring.py asserts it).
 
 RANSAC keys are derived per-pair as fold_in(fold_in(key, a), b), so the ring
 and replicated paths are deterministic and bitwise comparable
@@ -59,6 +61,17 @@ def _ring_registered(
         ax = jax.lax.axis_index(axis)
         my_base = ax * fl
         perm = [(k, (k - 1) % d) for k in range(d)]  # blocks travel "left"
+        # Half walk: block pair {A, B} at ring separation s is reachable from
+        # A at step s and from B at step d-s; walking only s = 0..d//2 visits
+        # each unordered pair exactly once (for even d the s = d/2 step is
+        # mutual — the lower-base side keeps it), which HALVES the register
+        # work vs the full walk whose mirrored steps were fully masked.  The
+        # price is a per-lane role swap: when the traveling block wrapped to
+        # LOWER global ids, the replicated enumeration's (i < j) role
+        # assignment puts the traveling fragment first — selected lane-wise
+        # below so keys and results stay bitwise parity with the replicated
+        # path.
+        n_steps = d // 2 + 1
 
         def ring_step(trav, s):
             trav_block, trav_base = trav
@@ -67,11 +80,24 @@ def _ring_registered(
             idb = trav_base + jnp.arange(fl, dtype=jnp.int32)  # traveling
             ii = jnp.repeat(ida, fl)
             jj = jnp.tile(idb, fl)
-            rep_i = jax.tree.map(lambda x: jnp.repeat(x, fl, axis=0), prepped_l)
-            rep_j = jax.tree.map(
+            swap = jj < ii  # traveling block wrapped below the resident one
+            lo = jnp.where(swap, jj, ii)
+            hi = jnp.where(swap, ii, jj)
+            rep_r = jax.tree.map(lambda x: jnp.repeat(x, fl, axis=0), prepped_l)
+            rep_t = jax.tree.map(
                 lambda x: jnp.tile(x, (fl,) + (1,) * (x.ndim - 1)), trav_block
             )
-            keys = jax.vmap(lambda a, b: pair_key(base_key, a, b))(ii, jj)
+
+            def pick(first: bool):
+                def sel(xr, xt):
+                    m = swap.reshape((-1,) + (1,) * (xr.ndim - 1))
+                    return jnp.where(m, xt if first else xr, xr if first else xt)
+
+                return jax.tree.map(sel, rep_r, rep_t)
+
+            rep_i = pick(True)   # fragment with the SMALLER global id
+            rep_j = pick(False)
+            keys = jax.vmap(lambda a, b: pair_key(base_key, a, b))(lo, hi)
             res = _register_core(
                 rep_i.coarse,
                 rep_i.features,
@@ -81,10 +107,13 @@ def _ring_registered(
                 rep_j.fine,
                 keys,
                 config,
-                (ii, jj),
+                (lo, hi),
             )
-            # Upper-triangle non-adjacent mask picks each unordered pair once.
-            want = jj > ii + 1
+            # Non-adjacent mask; for even d the mutual s = d/2 step is kept
+            # on the lower-base device only.
+            want = hi > lo + 1
+            if d % 2 == 0:
+                want = want & ((s != d // 2) | (my_base < trav_base))
             res = res._replace(success=res.success & want)
             nxt_block = jax.tree.map(
                 lambda x: jax.lax.ppermute(x, axis, perm), trav_block
@@ -93,9 +122,11 @@ def _ring_registered(
             return (nxt_block, nxt_base), res
 
         trav0 = (prepped_l, jnp.int32(my_base))
-        _, results = jax.lax.scan(ring_step, trav0, jnp.arange(d))
-        # (d_steps, fl*fl, ...) -> flatten steps into the leading axis.
-        return jax.tree.map(lambda x: x.reshape((d * fl * fl,) + x.shape[2:]), results)
+        _, results = jax.lax.scan(ring_step, trav0, jnp.arange(n_steps))
+        # (n_steps, fl*fl, ...) -> flatten steps into the leading axis.
+        return jax.tree.map(
+            lambda x: x.reshape((n_steps * fl * fl,) + x.shape[2:]), results
+        )
 
     sharded = NamedSharding(mesh, P(axis))
     prepped_s = jax.tree.map(lambda x: jax.device_put(x, sharded), prepped)
