@@ -348,18 +348,25 @@ def optimize_fragments(
     cfg: SlacConfig = SlacConfig(),
     *,
     num_fragments: int | None = None,
+    init_displacement: jax.Array | None = None,
 ) -> SlacResult:
     """Run the FragmentOptimizer: GN over poses (+ lattices per mode).
 
     The outer GN loop runs on the host (one jitted dispatch per iteration);
-    see :func:`_gn_outer_step` for why.
+    see :func:`_gn_outer_step` for why.  ``init_displacement`` warm-starts
+    the lattice (correspondence/optimize alternation rounds).
     """
     nf = num_fragments if num_fragments is not None else init_poses.shape[0]
     lat = Lattice(cfg.resolution, cfg.length, cfg.origin)
     L = _num_lattices(cfg.mode, nf)
     M = lat.num_vertices
     state = SlacState(
-        poses=init_poses, displacement=jnp.zeros((L, M, 3), jnp.float32)
+        poses=init_poses,
+        displacement=(
+            jnp.zeros((L, M, 3), jnp.float32)
+            if init_displacement is None
+            else jnp.asarray(init_displacement)
+        ),
     )
     rmse_hist = []
     for _ in range(cfg.outer_iterations):

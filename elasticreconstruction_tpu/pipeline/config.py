@@ -30,6 +30,14 @@ class PipelineConfig:
     slac_mode: str = "slac"  # rigid | slac | nonrigid | none
     corres_max_distance: float = 0.03
     corres_capacity_per_edge: int = 4096
+    # Correspondence/optimize alternation rounds (reference: the ICCV'13
+    # elastic optimizer re-associates every outer iteration; the staged
+    # pipeline gets the same effect by re-harvesting correspondences at the
+    # refined poses and re-optimizing).  1 = the plain staged behavior.
+    # More rounds widen the effective convergence basin: correspondences at
+    # badly-posed fragments only exist where geometry already agrees, and
+    # each round's pose/lattice update lets the next harvest see further.
+    corres_rounds: int = 1
     # Integration.  Scenes needing more than scene_max_shape voxels are tiled
     # into overlapping blocks of that shape (integrate.blocks) — never clamped.
     scene_voxel_size: float = 0.015

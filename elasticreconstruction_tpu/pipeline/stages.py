@@ -418,13 +418,17 @@ def run_optimize(
                     edge_pairs.append((i, j))
                     seen.add((i, j))
     t0 = time.time()
-    corres = build_correspondences(
-        clouds,
-        jnp.asarray(poses),
-        edge_pairs,
-        max_distance=cfg.corres_max_distance,
-        capacity_per_edge=cfg.corres_capacity_per_edge,
-    )
+
+    def harvest(cur_poses):
+        return build_correspondences(
+            clouds,
+            jnp.asarray(cur_poses),
+            edge_pairs,
+            max_distance=cfg.corres_max_distance,
+            capacity_per_edge=cfg.corres_capacity_per_edge,
+        )
+
+    corres = harvest(poses)
     if spill_corres:
         cdir = Path(cfg.out_dir) / "corres"
         cdir.mkdir(parents=True, exist_ok=True)
@@ -448,6 +452,24 @@ def run_optimize(
         return {"mode": "none"}
     scfg = cfg.slac_config()
     res = optimize_fragments(jnp.asarray(poses), corres, scfg, num_fragments=len(clouds))
+    for r in range(1, cfg.corres_rounds):
+        # Re-associate at the refined poses and continue from the refined
+        # state (ICCV'13-style alternation — see PipelineConfig.corres_rounds).
+        corres = harvest(np.array(res.poses, np.float32))
+        res = optimize_fragments(
+            res.poses,
+            corres,
+            scfg,
+            num_fragments=len(clouds),
+            init_displacement=res.displacement,
+        )
+        _log(
+            "optimize",
+            "alternation round",
+            round=r + 1,
+            corres=int(np.array(corres.count())),
+            rmse=float(res.final_rmse),
+        )
     io_logfmt.write_log(
         out / "pose_slac.log",
         io_logfmt.Trajectory.from_matrices(np.array(res.poses, np.float64)),
