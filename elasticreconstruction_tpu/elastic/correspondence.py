@@ -15,6 +15,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -85,20 +86,38 @@ def build_correspondences(
     *,
     max_distance: float = 0.03,
     capacity_per_edge: int = 4096,
+    pair_transforms: dict | None = None,
 ) -> CorresSet:
     """Host-level driver: harvest all kept edges into one CorresSet.
 
     ``clouds``: per-fragment clouds (local frames); ``poses``: (N, 4, 4);
     ``edge_pairs``: iterable of (i, j) int pairs (the PGO-kept edges).
+
+    ``pair_transforms``: optional ``(i, j) -> T_ij (4, 4)`` mapping j-local
+    into i-local points — the PAIRWISE-refined registration/ICP alignment.
+    The reference's BuildCorrespondence harvests at exactly this alignment
+    (SURVEY.md §3.4, re-ICP per edge before dumping pairs): matching under
+    the tight pairwise transform instead of the global poses removes the
+    global-misalignment bias from the mutual-NN matches, which otherwise
+    drowns mm-scale signals (depth-distortion differentials) the
+    FragmentOptimizer needs to observe.  Edges missing from the dict fall
+    back to global-pose matching.
     """
     fi, fj, ps, qs, ms = [], [], [], [], []
     poses = jnp.asarray(poses)
+    eye = jnp.eye(4, dtype=jnp.float32)
     for i, j in edge_pairs:
+        if pair_transforms is not None and (i, j) in pair_transforms:
+            T_i = eye
+            T_j = jnp.asarray(np.asarray(pair_transforms[(i, j)], np.float32))
+        else:
+            T_i = poses[i]
+            T_j = poses[j]
         p, q, m = correspondences_for_edge(
             clouds[i],
             clouds[j],
-            poses[i],
-            poses[j],
+            T_i,
+            T_j,
             max_distance=max_distance,
             capacity=capacity_per_edge,
         )

@@ -430,6 +430,18 @@ def run_optimize(
                     seen.add((i, j))
     t0 = time.time()
 
+    # Pairwise-refined transforms from the registration stage: the reference
+    # harvests correspondences at the per-edge re-ICP alignment, not the
+    # global poses (BuildCorrespondence — SURVEY.md §3.4; see
+    # build_correspondences docstring for why it matters).
+    pair_T: dict = {}
+    reg = cfg.p_registration()
+    for name in ("odometry.log", "loop.log"):
+        p = reg / name
+        if p.exists():
+            for e in io_logfmt.read_log(p).entries:
+                pair_T[(e.i, e.j)] = e.transform.astype(np.float32)
+
     def harvest(cur_poses):
         return build_correspondences(
             clouds,
@@ -437,6 +449,7 @@ def run_optimize(
             edge_pairs,
             max_distance=cfg.corres_max_distance,
             capacity_per_edge=cfg.corres_capacity_per_edge,
+            pair_transforms=pair_T,
         )
 
     corres = harvest(poses)
