@@ -364,7 +364,17 @@ def run_posegraph(cfg: PipelineConfig) -> None:
     ii = [e.i for e in odo.entries] + [e.i for e in loop.entries]
     jj = [e.j for e in odo.entries] + [e.j for e in loop.entries]
     Ts = [e.transform for e in odo.entries] + [e.transform for e in loop.entries]
-    infos = [e.info for e in odo_info.entries] + [e.info for e in loop_info.entries]
+    # Suspect odometry edges carry DOWNSCALED information in addition to
+    # being line-process-eligible: tracking health measured them unreliable,
+    # and at full weight a run of mutually-consistent garbage chain edges
+    # (a blind bare-wall arc) outweighs the handful of genuine loop edges
+    # that actually constrain the two healthy sub-maps — the line process
+    # then prunes the TRUTH as the outlier (measured: config3_degenerate
+    # healthy-frame ATE 0.84 m with full-weight suspect edges).
+    infos = [
+        e.info * (cfg.posegraph.suspect_info_scale if (e.i, e.j) in suspect_edges else 1.0)
+        for e in odo_info.entries
+    ] + [e.info for e in loop_info.entries]
     is_odo = [(e.i, e.j) not in suspect_edges for e in odo.entries] + [False] * len(
         loop.entries
     )

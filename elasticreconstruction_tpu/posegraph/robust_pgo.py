@@ -64,6 +64,11 @@ class PGOConfig(NamedTuple):
     damping: float = 1e-4  # LM lambda (relative to diag scale)
     prune_threshold: float = 0.25  # keep loop edges with l >= this
     anchor_weight: float = 1e8  # gauge prior on pose 0
+    # Information multiplier for SUSPECT odometry edges (tracking health
+    # tripped / chain refinement rejected — pipeline/stages.py): keeps them
+    # as weak connectivity priors instead of full-weight measurements, so a
+    # run of consistent garbage chain edges cannot outvote genuine loops.
+    suspect_info_scale: float = 0.01
 
 
 class PGOResult(NamedTuple):
