@@ -338,6 +338,49 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> dict:
 # ----------------------------------------------------------------- posegraph
 
 
+def _spanning_tree_init(
+    nf: int, ii, jj, Ts, suspect_edges: set, fallback: np.ndarray
+) -> np.ndarray:
+    """Compose initial poses along a min-cost spanning tree from fragment 0.
+
+    Edge costs: 1 for trusted odometry, 4 for loop edges (pairwise
+    registrations are noisier than healthy tracking), 1000 for suspect
+    odometry (last-resort connectivity only).  Falls back to the chained
+    bases for any fragment unreachable through the edge set.
+    """
+    import heapq
+
+    adj: list[list[tuple[float, int, np.ndarray]]] = [[] for _ in range(nf)]
+    for k in range(len(ii)):
+        a, b, T = int(ii[k]), int(jj[k]), np.asarray(Ts[k], np.float64)
+        if b - a == 1:
+            cost = 1000.0 if (a, b) in suspect_edges else 1.0
+        else:
+            cost = 4.0
+        # T maps b-local into a-local: pose_b = pose_a @ T; inverse for a<-b.
+        adj[a].append((cost, b, T))
+        adj[b].append((cost, a, np.linalg.inv(T)))
+    dist = np.full(nf, np.inf)
+    poses = [None] * nf
+    poses[0] = np.asarray(fallback[0], np.float64)
+    dist[0] = 0.0
+    heap = [(0.0, 0)]
+    while heap:
+        d, a = heapq.heappop(heap)
+        if d > dist[a]:
+            continue
+        for cost, b, T in adj[a]:
+            nd = d + cost
+            if nd < dist[b]:
+                dist[b] = nd
+                poses[b] = poses[a] @ T
+                heapq.heappush(heap, (nd, b))
+    out = np.stack(
+        [p if p is not None else np.asarray(fallback[k], np.float64) for k, p in enumerate(poses)]
+    )
+    return out.astype(np.float32)
+
+
 def run_posegraph(cfg: PipelineConfig) -> None:
     out = cfg.p_posegraph()
     out.mkdir(parents=True, exist_ok=True)
@@ -396,7 +439,18 @@ def run_posegraph(cfg: PipelineConfig) -> None:
         np.array(is_odo),
     )
     t0 = time.time()
-    res = optimize_pose_graph(jnp.asarray(bases), edges, cfg.posegraph)
+    init = bases
+    if suspect_edges:
+        # Robust-kernel initialization: the chained-odometry init carries the
+        # blind stretch's full drift, so genuine loop edges start meters off
+        # and the line process zeroes them before they can pull the graph
+        # together (l = (mu/(mu+r^2))^2 with r^2 evaluated AT the init).
+        # Re-chain the init along a spanning tree that prefers reliable
+        # edges (non-suspect odometry, then loops, then suspect odometry as
+        # a last resort), so every measurement starts within its own noise
+        # of consistency.
+        init = _spanning_tree_init(len(bases), ii, jj, Ts, suspect_edges, bases)
+    res = optimize_pose_graph(jnp.asarray(init), edges, cfg.posegraph)
     poses = np.array(res.poses, np.float64)
     io_logfmt.write_log(out / "pose.log", io_logfmt.Trajectory.from_matrices(poses))
     kept = np.array(res.kept)
