@@ -67,9 +67,11 @@ def main() -> None:
     ap.add_argument("--scene-voxel", type=float, default=0.03)
     ap.add_argument("--raycast-steps", type=int, default=96)
     # Model-map downscale (odometry/kinfu.py raycast_scale): quarters the
-    # per-frame gather-bound raycast at measured drift parity (bench.py
-    # odometry_frames_per_second reports both).
-    ap.add_argument("--raycast-scale", type=int, default=2)
+    # per-frame gather-bound raycast — 14.6 vs 5.6 frames/s on-chip — at a
+    # measured production ATE cost (A/B on the 2550-frame ladder: 10.1 mm at
+    # scale 1 vs 16.8 mm at scale 2, milestones.json config3_full_rigid*).
+    # Default 1 = quality-first record; pass 2 for throughput-first runs.
+    ap.add_argument("--raycast-scale", type=int, default=1)
     args = ap.parse_args()
     only = {s for s in args.only.split(",") if s}
 
