@@ -225,27 +225,25 @@ def scatter_update(
         vol, center_cam, depth, intr, depth_min=depth_min, depth_max=depth_max
     )
     hit_ok = valid & inb & obs_ok
+    w = hit_ok.astype(jnp.float32)
     flat = (ic[..., 0] * ny + ic[..., 1]) * nz + ic[..., 2]
     flat = jnp.where(hit_ok, flat, nx * ny * nz).reshape(-1)  # spill slot
-    # Overwrite-scatter, NOT scatter-add: every sample nominating a voxel
-    # re-evaluates the SAME center observation, so duplicates carry
-    # identical values and "any winner" equals "mean of duplicates"
-    # bit-for-bit.  A reducing scatter forces XLA to sort the 2.7M-sample
-    # index vector per frame (measured: the fuse_scatter kernel ran at 23%
-    # of its traffic roofline with two scatter-adds); the overwrite form
-    # needs no reduction.  One (ns, 2) row scatter carries value + hit flag.
-    rows = jnp.stack(
-        [obs.reshape(-1), hit_ok.astype(jnp.float32).reshape(-1)], axis=-1
-    )
-    acc = jnp.zeros((nx * ny * nz + 1, 2), jnp.float32).at[flat].set(
-        rows, mode="drop", unique_indices=False
-    )
-    obs_val = acc[:-1, 0].reshape(vol.shape)
-    hit = (acc[:-1, 1] > 0).reshape(vol.shape)
+    # Two scatter-ADDS, deliberately: an overwrite row-scatter looked
+    # cheaper on paper (duplicate samples carry bit-identical center
+    # re-evaluations, so "any winner" = "mean of duplicates"), but measured
+    # 3x SLOWER on v5e (kernels_bench round 4: 255 vs 85 ms/frame at scene
+    # shape) — XLA:TPU lowers the reducing scatter better than the
+    # variable-winner overwrite form.  Keep the measured-faster reduction.
+    sums = jnp.zeros(nx * ny * nz + 1, jnp.float32).at[flat].add((obs * w).reshape(-1))
+    cnt = jnp.zeros(nx * ny * nz + 1, jnp.float32).at[flat].add(w.reshape(-1))
+    sums = sums[:-1].reshape(vol.shape)
+    cnt = cnt[:-1].reshape(vol.shape)
+    hit = cnt > 0
+    obs_mean = sums / jnp.maximum(cnt, 1.0)
     w_old = vol.weight
     w_new = jnp.where(hit, w_old + 1.0, w_old)
     tsdf_new = jnp.where(
-        hit, (vol.tsdf * w_old + obs_val) / jnp.maximum(w_new, 1.0), vol.tsdf
+        hit, (vol.tsdf * w_old + obs_mean) / jnp.maximum(w_new, 1.0), vol.tsdf
     )
     return vol._replace(tsdf=tsdf_new, weight=jnp.minimum(w_new, max_weight))
 
