@@ -141,7 +141,9 @@ def load_fragment_clouds(cfg: PipelineConfig) -> list[PointCloud]:
 # ------------------------------------------------------------- registration
 
 
-def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> dict:
+def run_registration(
+    cfg: PipelineConfig, *, all_pairs: bool = True, gate_poses: np.ndarray | None = None
+) -> dict:
     """Odometry-edge refinement + (optionally) all-pairs loop candidates.
 
     ``all_pairs=False`` is BASELINE config 2 (odometry chain only): loop.log
@@ -250,11 +252,18 @@ def run_registration(cfg: PipelineConfig, *, all_pairs: bool = True) -> dict:
     # re-preprocessed both clouds inside every pair job.
     pairs = [(i, j) for i in range(nf) for j in range(i + 2, nf)] if all_pairs else []
     if all_pairs and np.isfinite(cfg.loop_candidate_radius):
+        # Gate by centroid distance under ``gate_poses`` (default: the
+        # odometry-chain bases).  The gate's premise — init distance ≈ true
+        # distance — fails DOWNSTREAM of a degenerate tracking stretch, so a
+        # second registration pass with gate_poses = the first pose-graph
+        # solution re-admits the loop candidates the drifted init hid
+        # (loop-closure iteration; exercised by the degenerate ladder config).
+        gp = bases if gate_poses is None else np.asarray(gate_poses, np.float32)
         cent = np.zeros((nf, 3), np.float32)
         for f, c in enumerate(clouds):
             m = np.asarray(c.mask)
             local = np.asarray(c.points)[m].mean(0) if m.any() else np.zeros(3)
-            cent[f] = bases[f, :3, :3] @ local + bases[f, :3, 3]
+            cent[f] = gp[f, :3, :3] @ local + gp[f, :3, 3]
         pairs = [
             (i, j)
             for i, j in pairs

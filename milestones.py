@@ -454,6 +454,14 @@ def main() -> None:
         stages.run_fragments(ds_b, cfg_b)
         reg = stages.run_registration(cfg_b, all_pairs=True)
         stages.run_posegraph(cfg_b)
+        # NOTE (measured, round 4): the gate at the DRIFTED init excludes the
+        # 4-6 genuine wrap-around pairs that could place the post-blind arc
+        # (they register to 6-21 mm when admitted directly).  A loop-closure
+        # iteration pass — re-gate with the pass-1 pose-graph solution via
+        # run_registration(gate_poses=...) — measured WORSE (0.76 -> 1.17 m):
+        # the wrong pass-1 placement re-admits false cross-arc pairs faster
+        # than true ones.  Kept single-pass; the residual is a diagnosed
+        # topology limit (docs/design_notes.md §8), not an undetected failure.
         stages.run_optimize(cfg_b)
         stages.run_integrate(ds_b, cfg_b)
         m = stages.run_evaluate(ds_b, cfg_b)
