@@ -122,16 +122,28 @@ class StreamReader:
 
 
 def pack_stream(dataset_dir: str | os.PathLike, out_path: str | os.PathLike | None = None) -> Path:
-    """Convert a PNG dataset directory to a single stream file."""
+    """Convert a PNG dataset directory to a single stream file.
+
+    Crash-safe: writes to a ``.tmp`` sibling and renames into place only after
+    the index footer lands, so an interrupted pack never leaves a truncated
+    ``stream.erts`` that Dataset would auto-prefer over the intact PNGs.  An
+    existing file is validated (footer readable) before being trusted.
+    """
     from ..pipeline.dataset import Dataset
 
     out = Path(out_path) if out_path else Path(dataset_dir) / "stream.erts"
     if out.exists():
-        return out  # already packed (and Dataset would now read from it)
+        try:
+            StreamReader(out)  # validates magic/version/index footer
+            return out  # already packed (and Dataset would now read from it)
+        except (ValueError, struct.error, json.JSONDecodeError, OSError):
+            out.unlink()  # corrupt leftover from a pre-crash-safe pack
     ds = Dataset(dataset_dir)
-    with StreamWriter(out, ds.intrinsics._asdict()) as w:
+    tmp = out.with_suffix(out.suffix + ".tmp")
+    with StreamWriter(tmp, ds.intrinsics._asdict()) as w:
         chunk = 64
         for s in range(0, len(ds), chunk):
             for d in ds.depth_chunk(s, chunk):
                 w.append(d)
+    os.replace(tmp, out)
     return out

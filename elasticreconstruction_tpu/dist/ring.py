@@ -110,8 +110,12 @@ def _ring_registered(
                 (lo, hi),
             )
             # Non-adjacent mask; for even d the mutual s = d/2 step is kept
-            # on the lower-base device only.
+            # on the lower-base device only.  At s = 0 the traveling block IS
+            # the resident block, so each intra-block pair appears in two
+            # lanes ((x, y) and (y, x)) that normalize to the same (lo, hi) —
+            # keep only the unswapped ordering so each pair reports once.
             want = hi > lo + 1
+            want = want & ((s != 0) | (jj > ii))
             if d % 2 == 0:
                 want = want & ((s != d // 2) | (my_base < trav_base))
             res = res._replace(success=res.success & want)

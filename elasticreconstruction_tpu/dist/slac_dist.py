@@ -52,6 +52,8 @@ def pad_corres(corres: CorresSet, multiple: int) -> CorresSet:
         p=jnp.pad(corres.p, ((0, pad), (0, 0))),
         q=jnp.pad(corres.q, ((0, pad), (0, 0))),
         mask=jnp.pad(corres.mask, (0, pad)),
+        n=None if corres.n is None else jnp.pad(corres.n, ((0, pad), (0, 0))),
+        w=None if corres.w is None else jnp.pad(corres.w, (0, pad)),
     )
 
 

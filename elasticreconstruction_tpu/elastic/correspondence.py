@@ -29,6 +29,14 @@ class CorresSet(NamedTuple):
 
     Points are stored in their fragments' LOCAL frames (the lattice acts in
     local space; world positions change as poses update).
+
+    ``n`` (optional): unit normal at ``p`` in fragment-i local frame —
+    enables the point-to-plane data term in the FragmentOptimizer (the only
+    component of a correspondence residual that NN association can actually
+    measure; the tangential part is an artifact of the match choice).
+    ``w`` (optional): per-row weight (e.g. long-baseline loop edges weighted
+    up: their viewpoint spread carries the distortion-differential signal
+    that adjacent-fragment pairs cancel).
     """
 
     frag_i: jax.Array  # (C,) int32
@@ -36,27 +44,42 @@ class CorresSet(NamedTuple):
     p: jax.Array  # (C, 3) point in fragment i local frame
     q: jax.Array  # (C, 3) point in fragment j local frame
     mask: jax.Array  # (C,) bool
+    n: jax.Array | None = None  # (C, 3) normal at p, fragment-i local frame
+    w: jax.Array | None = None  # (C,) row weights
 
     def count(self) -> jax.Array:
         return jnp.sum(self.mask.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("capacity",))
-def correspondences_for_edge(
+@partial(jax.jit, static_argnames=("capacity", "lattice"))
+def _corres_edge(
     cloud_i: PointCloud,
     cloud_j: PointCloud,
     T_i: jax.Array,
     T_j: jax.Array,
+    disp_i: jax.Array | None,
+    disp_j: jax.Array | None,
+    lattice,
     *,
     max_distance: float = 0.03,
     capacity: int = 4096,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Mutually-nearest close pairs between two posed fragments.
 
-    Returns (p ``(capacity, 3)`` local-i, q ``(capacity, 3)`` local-j, mask).
+    ``disp_i``/``disp_j``: (M, 3) lattice vertex displacements applied to the
+    local points BEFORE matching (re-association at the refined lattice —
+    the ICCV'13 alternation; pass None for plain rigid matching).  Returned
+    points are the RAW local points (the optimizer applies the warp itself).
+
+    Returns (p ``(capacity, 3)`` local-i, q ``(capacity, 3)`` local-j,
+    n ``(capacity, 3)`` normal at p in i-local, mask).
     """
-    pi_w = se3.apply(T_i, cloud_i.points)
-    pj_w = se3.apply(T_j, cloud_j.points)
+    from .lattice import deform
+
+    pi_l = cloud_i.points if disp_i is None else deform(lattice, disp_i, cloud_i.points)
+    pj_l = cloud_j.points if disp_j is None else deform(lattice, disp_j, cloud_j.points)
+    pi_w = se3.apply(T_i, pi_l)
+    pj_w = se3.apply(T_j, pj_l)
     d2, idx = _knn.nearest_auto(pj_w, pi_w, cloud_i.mask)
     close = cloud_j.mask & jnp.isfinite(d2) & (d2 < max_distance * max_distance)
     # Mutual check: j's match in i must match back to j.
@@ -67,16 +90,45 @@ def correspondences_for_edge(
     mask = ok[order]
     q = cloud_j.points[order]
     p = cloud_i.points[idx[order]]
+    n = cloud_i.normals[idx[order]]
     p = jnp.where(mask[:, None], p, 0.0)
     q = jnp.where(mask[:, None], q, 0.0)
+    n = jnp.where(mask[:, None], n, 0.0)
     # Pad to exactly `capacity` rows when the source cloud is smaller (the
     # CorresSet layout assumes a fixed per-edge stride).
     short = capacity - p.shape[0]
     if short > 0:
         p = jnp.pad(p, ((0, short), (0, 0)))
         q = jnp.pad(q, ((0, short), (0, 0)))
+        n = jnp.pad(n, ((0, short), (0, 0)))
         mask = jnp.pad(mask, (0, short))
-    return p, q, mask
+    return p, q, n, mask
+
+
+def correspondences_for_edge(
+    cloud_i: PointCloud,
+    cloud_j: PointCloud,
+    T_i: jax.Array,
+    T_j: jax.Array,
+    *,
+    disp_i: jax.Array | None = None,
+    disp_j: jax.Array | None = None,
+    lattice=None,
+    max_distance: float = 0.03,
+    capacity: int = 4096,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Public wrapper over :func:`_corres_edge` (optional lattice warp)."""
+    return _corres_edge(
+        cloud_i,
+        cloud_j,
+        T_i,
+        T_j,
+        disp_i,
+        disp_j,
+        lattice,
+        max_distance=max_distance,
+        capacity=capacity,
+    )
 
 
 def build_correspondences(
@@ -87,6 +139,10 @@ def build_correspondences(
     max_distance: float = 0.03,
     capacity_per_edge: int = 4096,
     pair_transforms: dict | None = None,
+    edge_weights: dict | None = None,
+    lattice=None,
+    displacement=None,
+    lattice_of_fragment=None,
 ) -> CorresSet:
     """Host-level driver: harvest all kept edges into one CorresSet.
 
@@ -102,10 +158,26 @@ def build_correspondences(
     drowns mm-scale signals (depth-distortion differentials) the
     FragmentOptimizer needs to observe.  Edges missing from the dict fall
     back to global-pose matching.
+
+    ``edge_weights``: optional ``(i, j) -> float`` per-edge row weight
+    (default 1.0) recorded into ``CorresSet.w``.
+
+    ``lattice`` + ``displacement`` (L, M, 3) + ``lattice_of_fragment``
+    (N,) int: when given, points are warped by the current lattice estimate
+    before matching (re-association at the refined state — the ICCV'13
+    alternation; ADVICE r4 #2: without this, re-harvest under fixed pairwise
+    transforms returns identical correspondences every round).
     """
-    fi, fj, ps, qs, ms = [], [], [], [], []
+    fi, fj, ps, qs, ns, ms, ws = [], [], [], [], [], [], []
     poses = jnp.asarray(poses)
     eye = jnp.eye(4, dtype=jnp.float32)
+
+    def disp_of(f: int) -> jax.Array | None:
+        if displacement is None:
+            return None
+        lof = 0 if lattice_of_fragment is None else int(lattice_of_fragment[f])
+        return jnp.asarray(displacement[min(lof, displacement.shape[0] - 1)])
+
     for i, j in edge_pairs:
         if pair_transforms is not None and (i, j) in pair_transforms:
             T_i = eye
@@ -113,11 +185,14 @@ def build_correspondences(
         else:
             T_i = poses[i]
             T_j = poses[j]
-        p, q, m = correspondences_for_edge(
+        p, q, n, m = correspondences_for_edge(
             clouds[i],
             clouds[j],
             T_i,
             T_j,
+            disp_i=disp_of(i),
+            disp_j=disp_of(j),
+            lattice=lattice,
             max_distance=max_distance,
             capacity=capacity_per_edge,
         )
@@ -125,14 +200,20 @@ def build_correspondences(
         fj.append(jnp.full((capacity_per_edge,), j, jnp.int32))
         ps.append(p)
         qs.append(q)
+        ns.append(n)
         ms.append(m)
+        w_e = 1.0 if edge_weights is None else float(edge_weights.get((i, j), 1.0))
+        ws.append(jnp.full((capacity_per_edge,), w_e, jnp.float32))
     if not fi:
         z = jnp.zeros((0,), jnp.int32)
-        return CorresSet(z, z, jnp.zeros((0, 3)), jnp.zeros((0, 3)), jnp.zeros((0,), bool))
+        z3 = jnp.zeros((0, 3))
+        return CorresSet(z, z, z3, z3, jnp.zeros((0,), bool), z3, jnp.zeros((0,)))
     return CorresSet(
         jnp.concatenate(fi),
         jnp.concatenate(fj),
         jnp.concatenate(ps),
         jnp.concatenate(qs),
         jnp.concatenate(ms),
+        jnp.concatenate(ns),
+        jnp.concatenate(ws),
     )

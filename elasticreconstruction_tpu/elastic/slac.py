@@ -63,6 +63,29 @@ class SlacConfig(NamedTuple):
     disp_prior_weight: float = 0.3
     anchor_weight: float = 1e6  # gauge prior on fragment 0 pose
     damping: float = 1e-6
+    # Point-to-plane data rows (used when the CorresSet carries normals):
+    # NN association between noisy surface clouds can only MEASURE the
+    # normal component of a correspondence residual — the tangential part is
+    # an artifact of the match choice (the matcher picks the closest surface
+    # point, zeroing the tangential residual regardless of the true
+    # differential).  Feeding those fake-zero tangential rows to the
+    # optimizer actively biases the lattice toward zero; projecting each row
+    # on its normal keeps exactly the measurable signal.  The unit-scale
+    # capability tests (exact gt association, no normals) are unaffected;
+    # production harvests (mutual-NN association) carry normals and use this
+    # by default.  The reference's FragmentOptimizer uses point-to-point
+    # rows over its BuildCorrespondence output (SURVEY.md §3.4) — this is a
+    # deliberate departure, see docs/design_notes.md.
+    point_to_plane: bool = True
+    # Point-to-point admixture under point_to_plane: each data row carries
+    # the weight matrix W = lambda^2 I + (1 - lambda^2) n n^T (applied as its
+    # symmetric square root sqrt(W) = lambda I + (1 - lambda) n n^T inside
+    # J/J^T).  Pure p2pl (lambda = 0) leaves pose translation unconstrained
+    # along planar scenes' tangent directions — measured: poses slide meters
+    # on a cylindrical-room unit problem — while the fake-zero tangential
+    # rows re-enter at only lambda^2 relative weight, preserving the p2pl
+    # bias fix.
+    p2p_mix: float = 0.15
 
 
 class SlacState(NamedTuple):
@@ -139,10 +162,31 @@ def _gather_d(z_d, lat_idx, ids):
 
 
 def _make_operators(state, corres, prob, lat, cfg, nf, L, M, update_lattice):
-    """Build J, J^T, diag(J^T J) closures around the current linearization."""
+    """Build J, J^T, diag(J^T J) closures around the current linearization.
+
+    Row weighting: ``row_w = mask * corres.w`` enters the normal equations
+    once (A = J^T row_w J); ``wm = sqrt(row_w)`` scales rows inside BOTH J
+    and J^T, and the data residual passed to _pcg carries one factor itself
+    (same convention as the ARAP rows).  Point-to-plane: when the CorresSet
+    carries normals and cfg.point_to_plane, each data row is the scalar
+    projection n_w . r with n_w = R_i n (normal transported to world; held
+    fixed across the GN step, the standard approximation).
+    """
     r, a, b, Ri, Rj = _data_geometry(state, corres, prob, lat)
-    wm = corres.mask.astype(jnp.float32)
-    cvalid = jnp.maximum(jnp.sum(wm), 1.0)
+    row_w = corres.mask.astype(jnp.float32)
+    if corres.w is not None:
+        row_w = row_w * corres.w
+    wm = jnp.sqrt(row_w)
+    p2pl = cfg.point_to_plane and corres.n is not None
+    if p2pl:
+        nw = jnp.einsum("cij,cj->ci", Ri, corres.n)  # normals to world
+        lam = cfg.p2p_mix
+
+        def rowS(u3):
+            """sqrt(W) u = lam u + (1 - lam) (n.u) n  per data row."""
+            return lam * u3 + (1.0 - lam) * jnp.sum(u3 * nw, -1, keepdims=True) * nw
+
+    cvalid = jnp.maximum(jnp.sum(row_w), 1.0)
     n_arap_rows = prob.arap_a.shape[0]  # 2E directed edges per lattice
     w_arap = cfg.arap_weight * cvalid / (L * n_arap_rows)
     sqrt_arap = jnp.sqrt(w_arap)
@@ -177,7 +221,10 @@ def _make_operators(state, corres, prob, lat, cfg, nf, L, M, update_lattice):
             zdp = jnp.einsum("ck,ckd->cd", prob.w_p, _gather_d(z_d, prob.lat_i, prob.ids_p))
             zdq = jnp.einsum("ck,ckd->cd", prob.w_q, _gather_d(z_d, prob.lat_j, prob.ids_q))
             u = u + jnp.einsum("cij,cj->ci", Ri, zdp) - jnp.einsum("cij,cj->ci", Rj, zdq)
-        u = u * wm[:, None]
+        if p2pl:
+            u = wm[:, None] * rowS(u)
+        else:
+            u = u * wm[:, None]
         # ARAP rows: (L, 2E, 3)
         if update_lattice:
             u_arap = sqrt_arap * (z_d[:, prob.arap_b] - z_d[:, prob.arap_a])
@@ -191,7 +238,10 @@ def _make_operators(state, corres, prob, lat, cfg, nf, L, M, update_lattice):
         return u, u_arap, u_prior, u_anchor
 
     def Jt(u, u_arap, u_prior, u_anchor):
-        u = u * wm[:, None]
+        if p2pl:
+            u = wm[:, None] * rowS(u)  # sqrt(W) is symmetric
+        else:
+            u = u * wm[:, None]
         gi = jnp.concatenate([u, jnp.cross(a, u)], axis=-1)  # (C, 6)
         gj = -jnp.concatenate([u, jnp.cross(b, u)], axis=-1)
         g_xi = jax.ops.segment_sum(gi, corres.frag_i, num_segments=nf)
@@ -221,19 +271,39 @@ def _make_operators(state, corres, prob, lat, cfg, nf, L, M, update_lattice):
         return g_xi, g_d
 
     def diag():
-        # Pose blocks.
-        ones3 = jnp.broadcast_to(wm[:, None], (wm.shape[0], 3))
-        a2 = jnp.sum(a * a, axis=-1, keepdims=True) - a * a  # diag([a]x^T [a]x)
-        b2 = jnp.sum(b * b, axis=-1, keepdims=True) - b * b
-        di = jnp.concatenate([ones3, a2 * wm[:, None]], axis=-1)
-        dj = jnp.concatenate([ones3, b2 * wm[:, None]], axis=-1)
+        # Pose blocks: diag of J^T row_w W J per 6-dof block.  Under p2pl the
+        # per-row W = lam^2 I + (1 - lam^2) n n^T makes the diagonal the same
+        # mix of the p2p and projected terms (exact, not an approximation).
+        ones3 = jnp.ones_like(a)
+        aTa = jnp.sum(a * a, axis=-1, keepdims=True) - a * a  # diag([a]x^T [a]x)
+        bTb = jnp.sum(b * b, axis=-1, keepdims=True) - b * b
+        if p2pl:
+            mix = 1.0 - lam * lam
+            t_i = lam * lam * ones3 + mix * nw * nw
+            t_j = t_i
+            w_i = lam * lam * aTa + mix * jnp.cross(a, nw) ** 2
+            w_j = lam * lam * bTb + mix * jnp.cross(b, nw) ** 2
+        else:
+            t_i = t_j = ones3
+            w_i = aTa
+            w_j = bTb
+        di = jnp.concatenate([t_i, w_i], axis=-1) * row_w[:, None]
+        dj = jnp.concatenate([t_j, w_j], axis=-1) * row_w[:, None]
         d_xi = jax.ops.segment_sum(di, corres.frag_i, num_segments=nf)
         d_xi = d_xi + jax.ops.segment_sum(dj, corres.frag_j, num_segments=nf)
         d_xi = d_xi.at[0].add(cfg.anchor_weight)
 
         if update_lattice:
-            wp2 = (prob.w_p**2 * wm[:, None])[..., None] * jnp.ones((1, 1, 3))
-            wq2 = (prob.w_q**2 * wm[:, None])[..., None] * jnp.ones((1, 1, 3))
+            if p2pl:
+                # Row wrt vertex k (p side): w_k R_i, projected diag
+                # w_k^2 (R_i^T n_w)^2 = w_k^2 n^2; q side via R_j^T n_w.
+                nq = jnp.einsum("cji,cj->ci", Rj, nw)
+                np_sq = lam * lam + (1.0 - lam * lam) * corres.n**2
+                nq_sq = lam * lam + (1.0 - lam * lam) * nq**2
+            else:
+                np_sq = nq_sq = jnp.ones((row_w.shape[0], 3), jnp.float32)
+            wp2 = (prob.w_p**2 * row_w[:, None])[..., None] * np_sq[:, None, :]
+            wq2 = (prob.w_q**2 * row_w[:, None])[..., None] * nq_sq[:, None, :]
             flat_p = (prob.lat_i[:, None] * M + prob.ids_p).reshape(-1)
             flat_q = (prob.lat_j[:, None] * M + prob.ids_q).reshape(-1)
             d_d = jax.ops.segment_sum(wp2.reshape(-1, 3), flat_p, num_segments=L * M)
@@ -249,13 +319,15 @@ def _make_operators(state, corres, prob, lat, cfg, nf, L, M, update_lattice):
             d_d = jnp.ones((L, M, 3), jnp.float32)
         return d_xi + cfg.damping, d_d + cfg.damping
 
+    mf = corres.mask.astype(jnp.float32)
     data_rmse = jnp.sqrt(
-        jnp.sum(wm * jnp.sum(r * r, axis=-1)) / jnp.maximum(jnp.sum(wm), 1.0)
+        jnp.sum(mf * jnp.sum(r * r, axis=-1)) / jnp.maximum(jnp.sum(mf), 1.0)
     )
-    # Residual rows as J's row scaling produces them: data rows are masked by
-    # wm inside Jt; ARAP rows carry sqrt(arap_weight) in J AND Jt, so the
-    # residual passed to Jt must carry one factor itself.
-    residuals = (r, sqrt_arap * arap_r, sqrt_prior * state.displacement, jnp.zeros(6))
+    # Residual rows as J's row scaling produces them: every row carries
+    # sqrt(row weight) in J AND Jt, so the residual passed to Jt must carry
+    # one factor itself (data rows: wm; ARAP rows: sqrt_arap).
+    r_data = wm[:, None] * rowS(r) if p2pl else wm[:, None] * r
+    residuals = (r_data, sqrt_arap * arap_r, sqrt_prior * state.displacement, jnp.zeros(6))
     return J, Jt, diag, residuals, data_rmse
 
 

@@ -58,7 +58,7 @@ def make_gt_edges(
         for j in range(start_j, nf):
             if min(valid[i], valid[j]) == 0:
                 continue
-            p, _, m = correspondences_for_edge(
+            p, _, _, m = correspondences_for_edge(
                 clouds[i], clouds[j], poses[i], poses[j],
                 max_distance=max_distance, capacity=capacity,
             )

@@ -6,11 +6,14 @@ One Pallas kernel performs, per (batch, query-block, ref-block) tile:
   2. per-row running argmin with the matched dst point AND normal gathered
      via a one-hot matmul (Mosaic has no cross-lane gather; an indicator
      matmul against the ref tile does the same job on the MXU).  The
-     indicator values are exact in bf16 (0, 1, 1/ties), so the gather runs
-     as TWO bf16 matmuls against a hi/lo split of the [r | n] operand
-     (rn = hi + lo with hi = bf16(rn)): ~2^-16 relative reconstruction
-     error at the chip's bf16 rate, vs the f32 matmul the round-3 roofline
-     measured as a dominant cost.  The d² matmul itself MUST stay f32 —
+     indicator values are 0, 1, or 1/ties; 0 and 1 are exact in bf16 and
+     non-power-of-two tie weights (1/3, 1/5, ...) round with ~0.4% relative
+     error — benign, since >=3-way exact distance ties are near measure
+     zero on real point data and tie-averaging is itself a heuristic.  The
+     [r | n] operand is made exact via a hi/lo split (rn = hi + lo with
+     hi = bf16(rn)), so the gather runs as TWO bf16 matmuls: ~2^-16
+     relative reconstruction error at the chip's bf16 rate, vs the f32
+     matmul the round-3 roofline measured as a dominant cost.  The d² matmul itself MUST stay f32 —
      q²+r²−2qr cancels to ~1e-4 m² from ~m²-scale terms and bf16 there
      destroys the argmin (README precision note),
   3. on each row sweep's final ref block: the masked point-to-plane

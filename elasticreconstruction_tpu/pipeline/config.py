@@ -38,6 +38,23 @@ class PipelineConfig:
     # badly-posed fragments only exist where geometry already agrees, and
     # each round's pose/lattice update lets the next harvest see further.
     corres_rounds: int = 1
+    # Viewpoint-baseline correspondence weighting: row weight
+    # 1 + corres_baseline_weight * (1 - cos(angle between the two fragments'
+    # optical axes)).  Adjacent fragments (a few degrees apart) stay ~1;
+    # opposite-side loop pairs approach 1 + 2*coefficient.  The depth
+    # -distortion differential a correspondence can observe scales with the
+    # viewpoint separation — adjacent-baseline pairs see (nearly) the same
+    # field on both sides and their residuals cancel the signal, so SLAC
+    # calibration runs weight long-baseline loop edges up (VERDICT r4 #1).
+    # 0 = reference parity (uniform rows).
+    corres_baseline_weight: float = 0.0
+    # Per-round tightening of corres_max_distance during alternation:
+    # round k matches at max_distance * decay^k.  <1 shrinks the association
+    # basin as poses/lattice converge — the ICCV'13 coarse-to-fine harvest —
+    # preventing the loose first-round radius from feeding the optimizer
+    # far-field mismatches forever (the diagnosed config4_nonrigid overfit,
+    # VERDICT r4 #2).
+    corres_distance_decay: float = 1.0
     # Loop-candidate gating: all-pairs proposals whose fragment centroids sit
     # farther apart than this under the ODOMETRY-chain init cannot overlap
     # and are skipped.  inf = the reference's ungated all-pairs enumeration
@@ -48,6 +65,38 @@ class PipelineConfig:
     # backbone no longer anchors the consistent-correct solution.  Gate
     # tolerance must exceed the worst plausible odometry drift.
     loop_candidate_radius: float = float("inf")
+    # Loop-candidate proposal policy (round 5 — replaces the hand-tuned
+    # per-scene loop_candidate_radius the round-4 accuracy story depended
+    # on; VERDICT r4 weak #5 / next #3):
+    #   "none"  — the reference's ungated all-pairs enumeration (CVPR'15
+    #             parity; safe only with a trusted odometry backbone).
+    #   "drift" — derived gate + content retrieval (default).  A pair whose
+    #             chain path contains NO suspect edges is admitted iff its
+    #             init centroid distance is within the measured adjacent-pair
+    #             spacing (x gate_reach_factor) plus the accumulated drift
+    #             budget of the path — everything the init could plausibly
+    #             be wrong by.  Pairs whose path crosses a suspect edge have
+    #             meaningless init distances; they are admitted by CONTENT
+    #             instead: mutual top-k FPFH-signature retrieval
+    #             (registration.retrieval), bounding how many candidates a
+    #             broken arc can propose while keeping the genuine
+    #             wrap-around constraints reachable.
+    # A finite loop_candidate_radius still applies as a legacy override.
+    loop_gating: str = "drift"
+    # Per-edge drift budgets for the derived gate.  Healthy tracking on this
+    # pipeline measures ~3 cm/fragment worst-case (health telemetry,
+    # milestones config3/config5); 5 cm is that with margin.  A suspect edge
+    # can be wrong by the whole blind-stretch motion — 0.75 m/fragment
+    # bounds the measured degenerate-arc drift (~0.5 m/fragment worst).
+    drift_per_fragment: float = 0.05
+    drift_suspect: float = 0.75
+    # Overlap reach = gate_reach_factor x median adjacent-pair centroid
+    # spacing (measured from the scene itself: consecutive fragments overlap
+    # by construction, so their spacing calibrates "how far apart can
+    # centroids of overlapping fragments sit").
+    gate_reach_factor: float = 2.0
+    # Mutual top-k signature retrieval for suspect-path pairs.
+    retrieval_topk: int = 5
     # Integration.  Scenes needing more than scene_max_shape voxels are tiled
     # into overlapping blocks of that shape (integrate.blocks) — never clamped.
     scene_voxel_size: float = 0.015

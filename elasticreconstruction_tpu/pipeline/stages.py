@@ -251,24 +251,74 @@ def run_registration(
     # exactly once; the pair loop only gathers prepped rows — the reference
     # re-preprocessed both clouds inside every pair job.
     pairs = [(i, j) for i in range(nf) for j in range(i + 2, nf)] if all_pairs else []
-    if all_pairs and np.isfinite(cfg.loop_candidate_radius):
-        # Gate by centroid distance under ``gate_poses`` (default: the
-        # odometry-chain bases).  The gate's premise — init distance ≈ true
-        # distance — fails DOWNSTREAM of a degenerate tracking stretch, so a
-        # second registration pass with gate_poses = the first pose-graph
-        # solution re-admits the loop candidates the drifted init hid
-        # (loop-closure iteration; exercised by the degenerate ladder config).
+    gate_stats: dict = {}
+    if all_pairs and (np.isfinite(cfg.loop_candidate_radius) or cfg.loop_gating == "drift"):
+        # Fragment centroids under ``gate_poses`` (default: the odometry
+        # -chain bases) — the init placement both gates reason about.
         gp = bases if gate_poses is None else np.asarray(gate_poses, np.float32)
         cent = np.zeros((nf, 3), np.float32)
         for f, c in enumerate(clouds):
             m = np.asarray(c.mask)
             local = np.asarray(c.points)[m].mean(0) if m.any() else np.zeros(3)
             cent[f] = gp[f, :3, :3] @ local + gp[f, :3, 3]
+    if all_pairs and np.isfinite(cfg.loop_candidate_radius):
+        # Legacy manual radius gate (kept as an override; the derived gate
+        # below replaced it as the default — VERDICT r4 weak #5).
         pairs = [
             (i, j)
             for i, j in pairs
             if np.linalg.norm(cent[i] - cent[j]) < cfg.loop_candidate_radius
         ]
+    elif all_pairs and cfg.loop_gating == "drift" and nf > 2:
+        # Derived gate + content retrieval (see PipelineConfig.loop_gating).
+        # Clean-path pairs: admit iff the init centroid distance is within
+        # the measured overlap reach plus the path's accumulated drift
+        # budget.  Suspect-path pairs: init distance is meaningless (the
+        # blind stretch can be wrong by meters) — admit by mutual top-k
+        # FPFH-signature retrieval instead (registration.retrieval), which
+        # depends on CONTENT, not poses.
+        from ..registration.retrieval import (
+            fragment_signatures,
+            mutual_topk_pairs,
+            signature_distances,
+        )
+
+        sus_edge = np.zeros(nf - 1, bool)
+        for f in suspect:
+            sus_edge[f] = True
+        delta = np.where(sus_edge, cfg.drift_suspect, cfg.drift_per_fragment)
+        cum_budget = np.concatenate([[0.0], np.cumsum(delta)])
+        cum_sus = np.concatenate([[0], np.cumsum(sus_edge.astype(int))])
+        adj_sp = float(
+            np.median(np.linalg.norm(cent[1:] - cent[:-1], axis=1))
+        )
+        reach = cfg.gate_reach_factor * adj_sp
+        admitted, suspect_path = [], set()
+        for i, j in pairs:
+            if cum_sus[j] - cum_sus[i] == 0:
+                budget = cum_budget[j] - cum_budget[i]
+                if np.linalg.norm(cent[i] - cent[j]) <= reach + budget:
+                    admitted.append((i, j))
+            else:
+                suspect_path.add((i, j))
+        content: set = set()
+        if suspect_path:
+            sig = np.array(
+                fragment_signatures(
+                    jax.tree.map(lambda x: x[:nf], prepped).features,
+                    jax.tree.map(lambda x: x[:nf], prepped).coarse.mask,
+                )
+            )
+            content = mutual_topk_pairs(
+                signature_distances(sig), cfg.retrieval_topk, candidates=suspect_path
+            )
+        gate_stats = dict(
+            gate_reach=round(reach, 3),
+            gate_admitted=len(admitted),
+            gate_suspect_path=len(suspect_path),
+            gate_content_admitted=len(content),
+        )
+        pairs = admitted + sorted(content)
     pairs += [(f, f + 1) for f in suspect]
     t_prep = time.time() - t0  # prep + odometry refine (incl. any compiles)
     batch_results = []
@@ -276,6 +326,7 @@ def run_registration(
     key = jax.random.PRNGKey(cfg.seed)
     t_first = None  # set after the first batch call returns (jit compile done)
     n_first = 0
+    t_disp0 = time.time()
     for s in range(0, len(pairs), B):
         chunk = pairs[s : s + B]
         pad = B - len(chunk)
@@ -294,12 +345,15 @@ def run_registration(
             # rate from here excludes it (the dispatched work itself is still
             # queued and lands in the drain below).
             t_first, n_first = time.time(), len(chunk)
+    t_dispatch = time.time() - t_disp0  # host-side dispatch loop (async queue)
 
+    t_drain0 = time.time()
     results = []
     for n_valid, res in batch_results:
         host = jax.tree.map(np.array, res)  # single drain at stage end
         for b in range(n_valid):
             results.append(jax.tree.map(lambda x: x[b], host))
+    t_drain = time.time() - t_drain0  # device execution backlog + readback
 
     accepted = [r for r in results if bool(r.success)]
     io_logfmt.write_log(
@@ -328,6 +382,14 @@ def run_registration(
         suspect_odometry_edges=len(suspect),
         seconds=round(t_total, 2),
         prep_seconds=round(t_prep, 2),
+        # Stage-rate attribution (VERDICT r4 #5): dispatch = host loop
+        # queueing async batches (tracing-cache lookups, per-batch transfers);
+        # drain = device execution backlog + result readback.  If dispatch
+        # dominates, the host cannot feed the chip; if drain dominates, the
+        # device compute itself is the limit.
+        dispatch_seconds=round(t_dispatch, 2),
+        drain_seconds=round(t_drain, 2),
+        io_seconds=round(t_total - t_prep - t_dispatch - t_drain, 2),
         pairs_per_second=round((len(pairs) + nf - 1) / max(t_total, 1e-9), 3),
         # Steady-state rate of the pair loop alone (what a warm-cache /
         # multi-scene run achieves): timed from after the first batch call
@@ -339,6 +401,7 @@ def run_registration(
             if t_first is not None and len(pairs) > n_first
             else None
         ),
+        **gate_stats,
     )
     _log("registration", "done", **stats)
     return stats
@@ -515,14 +578,41 @@ def run_optimize(
             for e in io_logfmt.read_log(p).entries:
                 pair_T[(e.i, e.j)] = e.transform.astype(np.float32)
 
-    def harvest(cur_poses):
+    # Viewpoint-baseline row weights (see PipelineConfig.corres_baseline_weight):
+    # the distortion differential observable on an edge scales with the angle
+    # between the two fragments' optical axes (fragment-local +z), so SLAC
+    # calibration runs weight long-baseline loop edges up — derived from the
+    # geometry, not hand-set per edge.
+    edge_w = None
+    if cfg.corres_baseline_weight > 0.0:
+        edge_w = {}
+        for i, j in edge_pairs:
+            cosang = float(np.dot(poses[i][:3, 2], poses[j][:3, 2]))
+            edge_w[(i, j)] = 1.0 + cfg.corres_baseline_weight * (1.0 - cosang)
+
+    scfg_pre = cfg.slac_config() if cfg.slac_mode != "none" else None
+    lof = None
+    if scfg_pre is not None and scfg_pre.mode is SlacMode.NONRIGID:
+        lof = list(range(len(clouds)))
+
+    def harvest(cur_poses, displacement=None, max_distance=None):
+        from ..elastic.lattice import Lattice
+
         return build_correspondences(
             clouds,
             jnp.asarray(cur_poses),
             edge_pairs,
-            max_distance=cfg.corres_max_distance,
+            max_distance=cfg.corres_max_distance if max_distance is None else max_distance,
             capacity_per_edge=cfg.corres_capacity_per_edge,
             pair_transforms=pair_T,
+            edge_weights=edge_w,
+            lattice=(
+                None
+                if displacement is None or scfg_pre is None
+                else Lattice(scfg_pre.resolution, scfg_pre.length, scfg_pre.origin)
+            ),
+            displacement=displacement,
+            lattice_of_fragment=lof,
         )
 
     corres = harvest(poses)
@@ -550,9 +640,19 @@ def run_optimize(
     scfg = cfg.slac_config()
     res = optimize_fragments(jnp.asarray(poses), corres, scfg, num_fragments=len(clouds))
     for r in range(1, cfg.corres_rounds):
-        # Re-associate at the refined poses and continue from the refined
-        # state (ICCV'13-style alternation — see PipelineConfig.corres_rounds).
-        corres = harvest(np.array(res.poses, np.float32))
+        # Re-associate at the refined state and continue from it (ICCV'13
+        # alternation — see PipelineConfig.corres_rounds).  The refined
+        # LATTICE is composed into the matching (points are warped before the
+        # mutual-NN pass; ADVICE r4 #2: with pair_transforms covering every
+        # edge, re-harvesting at refined poses alone returns identical
+        # matches), and the association radius tightens per round
+        # (corres_distance_decay) as the estimate converges.
+        md = cfg.corres_max_distance * cfg.corres_distance_decay**r
+        corres = harvest(
+            np.array(res.poses, np.float32),
+            displacement=np.array(res.displacement, np.float32),
+            max_distance=md,
+        )
         res = optimize_fragments(
             res.poses,
             corres,

@@ -195,33 +195,45 @@ def calibrate():
     # the FMA chains above — modeling it in FMA units made the kernel appear
     # to beat its own roofline by 3.5x (round 3 artifact).  Same Pallas
     # pattern, 8 independent compare+select chains per element.
-    def cmp_kernel(x_ref, o_ref):
+    #
+    # Round 5 recalibration (VERDICT r4 #4): the round-4 chain body did TWO
+    # arithmetic ops per where (`a*(1+eps)` and `a+1e-4` branch values), so
+    # the measured "where rate" was really a 4-op rate and the peak came out
+    # ~2x LOW — the fpfh entry then "beat" its own roofline at 2.11x.  The
+    # branch values are now hoisted out of the loop: each iteration is ONE
+    # compare + ONE select per chain (plus the threshold bump, amortized
+    # across the 8 chains), which is what the model counts.
+    def cmp_kernel(x_ref, y_ref, o_ref):
         x = x_ref[:]
+        y = y_ref[:]
 
-        def body(k, accs):
-            t = 0.5 + 1e-4 * k
-            return tuple(
-                jnp.where(a > t, a * (1.0 + 1e-7 * (c + 1)), a + 1e-4)
-                for c, a in enumerate(accs)
-            )
+        def body(k, carry):
+            t = 0.5 + 1e-4 * jnp.float32(k)
+            accs = carry
+            return tuple(jnp.where(a > t, y, a) for a in accs)
 
         accs = jax.lax.fori_loop(
             0, ITERS, body, tuple(x + 1e-5 * k for k in range(NCH))
         )
         o_ref[:] = sum(accs)
 
-    pcc = lambda v: pl.pallas_call(
+    pcc = lambda v, w: pl.pallas_call(
         cmp_kernel,
         grid=(GRID,),
-        in_specs=[pl.BlockSpec((BQ, BL), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((BQ, BL), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BQ, BL), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((BQ, BL), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((GRID * BQ, BL), jnp.float32),
-    )(v)
+    )(v, w)
 
     @jax.jit
     def vpu_cmp(x, seed):
+        y = x * 0.75 + 0.1  # hoisted branch operand (computed once)
+
         def body(c, _):
-            return pcc(c), ()
+            return pcc(c, y), ()
 
         c, _ = jax.lax.scan(body, x + seed * 1e-9, None, length=K)
         return c[0, :8]
@@ -255,6 +267,33 @@ def calibrate():
 
         dt = _time_scan(gather, (table, idx), K)
         peaks[label] = NG / (dt * 1e-3) / 1e9
+
+    # Random scatter-ADD rate, HBM-scale accumulator (round 5 — VERDICT r4
+    # #4): the scatter-formulation TSDF fuse performs one random
+    # read-modify-write per band sample per accumulator array; round 4's
+    # model counted only dense merge bytes + depth gathers, so the
+    # production fuse kernel looked like it ran at 0.23 of a roofline that
+    # ignored its dominant cost.  Table sized to the scene-volume scale.
+    _progress("calibrate: scatter")
+    NG, K = 1 << 23, 16
+    tsize = 1 << 24
+    sidx = jax.jit(lambda k: jax.random.randint(k, (NG,), 0, tsize, jnp.int32))(key)
+
+    @jax.jit
+    def scatter_add(i, seed):
+        def body(c, k):
+            acc = jnp.zeros(tsize, jnp.float32).at[(i + k) & (tsize - 1)].add(1.0)
+            return c + acc[:: (1 << 20)], ()
+
+        c, _ = jax.lax.scan(
+            body,
+            jnp.full(tsize >> 20, seed * 1e-9, jnp.float32),
+            jnp.arange(K, dtype=jnp.int32),
+        )
+        return c
+
+    dt = _time_scan(scatter_add, (sidx,), K)
+    peaks["peak_scatter_hbm_geps"] = NG / (dt * 1e-3) / 1e9
     return peaks
 
 
@@ -272,6 +311,9 @@ def _sol(entry, peaks):
         * 1e3,
         "gather_hbm_ms": model.get("gathers_hbm", 0) / (peaks["peak_gather_hbm_geps"] * 1e9) * 1e3,
         "gather_vmem_ms": model.get("gathers_vmem", 0) / (peaks["peak_gather_vmem_geps"] * 1e9) * 1e3,
+        "scatter_hbm_ms": model.get("scatters_hbm", 0)
+        / (peaks.get("peak_scatter_hbm_geps", 1e12) * 1e9)
+        * 1e3,
     }
     entry["sol_breakdown_ms"] = {k: round(v, 4) for k, v in times.items()}
     entry["sol_ms"] = round(max(times.values()), 4)
@@ -489,11 +531,14 @@ def bench_kernels(peaks, want=None):
                 "time_ms": round(dt, 3),
                 "gvoxels_per_s": round(nvox / (dt * 1e-3) / 1e9, 2),
                 "model": {
-                    "hbm_bytes": nvox * 24 + ns * 24,  # merge RMW + sample scatter traffic
+                    "hbm_bytes": nvox * 24,  # dense merge RMW (fused pass)
                     "vpu_ops": ns * 40,  # project center + obs epilogue (est.)
                     "gathers_vmem": ns,  # depth lookup per sample
+                    # One random RMW per sample per accumulator array
+                    # (sums + cnt) — the dominant cost round 4's model
+                    # omitted (VERDICT r4 #4).
+                    "scatters_hbm": 2 * ns,
                 },
-                "model_note": "scatter-adds to the (nvox+1) accumulators counted as hbm bytes",
             }, peaks))
 
     if _w("raycast"):

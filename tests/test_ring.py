@@ -25,7 +25,16 @@ pytestmark = pytest.mark.skipif(
 
 def _fragment_stack(rng, f, n=1200, slide=0.3):
     """F overlapping synthetic fragments along a sliding window of a wavy
-    surface (consecutive windows overlap ~70%, distant ones not at all)."""
+    surface (consecutive windows overlap ~70%, distant ones not at all).
+    Irregular Gaussian bumps break the base waves' self-similarity so FPFH
+    matching has distinctive geometry at every window position."""
+    brng = np.random.default_rng(99)  # bumps fixed across fragments
+    span = -1.5 + slide * f + 1.5
+    nb = max(8, int(4 * span))
+    bc = np.stack(
+        [brng.uniform(-1.5, span, nb), brng.uniform(-1.5, 1.5, nb)], 1
+    ).astype(np.float32)
+    bh = brng.uniform(0.15, 0.4, nb).astype(np.float32) * brng.choice([-1, 1], nb)
     clouds = []
     for k in range(f):
         x0 = -1.5 + slide * k
@@ -34,6 +43,8 @@ def _fragment_stack(rng, f, n=1200, slide=0.3):
         z = (0.35 * np.sin(2.3 * x) * np.cos(1.7 * y) + 0.2 * np.sin(4.1 * y)).astype(
             np.float32
         )
+        d2 = (x[:, None] - bc[None, :, 0]) ** 2 + (y[:, None] - bc[None, :, 1]) ** 2
+        z = z + (bh[None, :] * np.exp(-d2 / (2 * 0.18**2))).sum(1).astype(np.float32)
         clouds.append(PointCloud.from_points(np.stack([x, y, z], 1)))
     return jax.tree.map(lambda *xs: jnp.stack(xs), *clouds)
 
@@ -88,6 +99,36 @@ def test_ring_matches_replicated_all_pairs():
         else:
             assert ring_k is None, f"pair {(i, j)} accepted in ring only"
     assert n_match >= 3  # the sliding windows give several true overlaps
+
+
+def test_ring_no_duplicate_intra_block_pairs():
+    """Three fragments per device: at ring step s=0 the traveling block IS the
+    resident block, so each intra-block non-adjacent pair (e.g. (3k, 3k+2))
+    appears in two lanes that normalize to the same (lo, hi) — the step-0
+    ordering mask must keep exactly one (ADVICE r4 #1)."""
+    rng = np.random.default_rng(5)
+    mesh = make_mesh(8)
+    F = 24  # fl = 3: intra-block non-adjacent pairs exist
+    cfg = RegistrationConfig(
+        coarse_capacity=1024, fine_capacity=1024, num_hypotheses=512, icp_iterations=8
+    )
+    frags = _fragment_stack(rng, F, n=1200, slide=0.15)
+    prepped = prep_fragments_batch(frags, cfg)
+    res = ring.register_all_pairs_ring(prepped, jax.random.PRNGKey(0), mesh, cfg)
+    i = np.array(res.i)
+    j = np.array(res.j)
+    ok = np.array(res.success)
+    succ = [(int(a), int(b)) for a, b in zip(i[ok], j[ok])]
+    assert len(succ) == len(set(succ)), "duplicate (i, j) among successful lanes"
+    assert all(b > a + 1 for a, b in succ)
+    # The heavy overlap (slide=0.15) makes intra-block (3k, 3k+2) pairs
+    # register: the dedup assertion above must have had real work to do.
+    intra = [(a, b) for a, b in succ if a // 3 == b // 3]
+    assert intra, "expected successful intra-block non-adjacent pairs"
+    # Full lane coverage unchanged by the step-0 mask.
+    lanes = {(int(a), int(b)) for a, b in zip(i, j) if b > a + 1}
+    want = {(a, b) for a in range(F) for b in range(a + 2, F)}
+    assert lanes == want
 
 
 def test_ring_multi_fragment_blocks():
