@@ -148,6 +148,10 @@ def generate_synthetic(
         poses = scenes.orbit_trajectory(
             num_frames, radius=radius, height=height, sweep=sweep, start_angle=start_angle
         )
+    elif trajectory == "survey":
+        poses = scenes.survey_trajectory(
+            num_frames, radius=radius, height=height, sweep=sweep, start_angle=start_angle
+        )
     else:
         raise ValueError(f"unknown trajectory {trajectory!r}")
     rng = np.random.default_rng(seed)

@@ -303,6 +303,54 @@ def pendulum_trajectory(
     return np.stack(poses).astype(np.float32)
 
 
+def survey_trajectory(
+    num_frames: int,
+    *,
+    radius: float = 1.2,
+    height: float = 1.3,
+    sweep: float = 2.0 * np.pi,
+    start_angle: float = 0.0,
+    look_radius: float = 10.0,
+    radius_cycles: int = 3,
+    radius_depth: float = 0.35,
+    pan_cycles: int = 2,
+    pan_amplitude: float = 0.35,
+    height_bob: float = 0.22,
+    center=(0.0, 0.0, 0.0),
+) -> np.ndarray:
+    """Calibration-style survey orbit: loop-closing like :func:`orbit_trajectory`
+    but with in-out radius cycles, look-direction panning and height bob, so
+    the same wall regions are observed NEAR and FAR and at CENTER and CORNER
+    of the image.  A plain circular orbit views every surface from a single
+    range/image-position combination — measured (round 5): that makes a
+    depth-distortion field f(u, v, d) barely identifiable from
+    correspondence differentials (exact-association GN recovers only ~0.22
+    of the learnable field), no matter how good the optimizer.  The CVPR'14
+    SLAC input regime is a handheld scan with exactly this kind of range and
+    framing diversity (SURVEY.md §0 paper 2).  All modulations are whole
+    -cycle over the sweep, so the loop still closes for PGO.
+    """
+    cx, _, cz = center
+    poses = []
+    for k in range(num_frames):
+        s = k / max(num_frames, 1)
+        a = start_angle + sweep * s
+        r = radius * (1.0 - radius_depth * 0.5 * (1.0 - np.cos(2 * np.pi * radius_cycles * s)))
+        pan = pan_amplitude * np.sin(2 * np.pi * pan_cycles * s)
+        eye = (
+            cx + r * np.cos(a),
+            height + height_bob * np.sin(2 * np.pi * (radius_cycles + 1) * s),
+            cz + r * np.sin(a),
+        )
+        target = (
+            cx + look_radius * np.cos(a + pan),
+            height * 0.7,
+            cz + look_radius * np.sin(a + pan),
+        )
+        poses.append(look_at_pose(eye, target))
+    return np.stack(poses).astype(np.float32)
+
+
 def perturbed_poses(poses: np.ndarray, trans_sigma: float, rot_sigma: float, seed: int = 0) -> np.ndarray:
     """Gaussian SE(3) noise on a trajectory (for eval/unit tests)."""
     rng = np.random.default_rng(seed)

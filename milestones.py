@@ -114,7 +114,10 @@ def main() -> None:
 
     intr = cam.Intrinsics(fx=262.5, fy=262.5, cx=159.5, cy=119.5, width=320, height=240)
 
-    def gen(data: Path, *, frames: int, scene: str, radius: float, distortion=None) -> Dataset:
+    def gen(
+        data: Path, *, frames: int, scene: str, radius: float, distortion=None,
+        trajectory: str = "orbit",
+    ) -> Dataset:
         if not (data / "gt.log").exists() or len(list((data / "depth").glob("*.png"))) < frames:
             print(json.dumps({"stage": "generate", "dir": str(data), "frames": frames}), flush=True)
             generate_synthetic(
@@ -122,7 +125,7 @@ def main() -> None:
                 num_frames=frames,
                 intr=intr,
                 scene=scene,
-                trajectory="orbit",
+                trajectory=trajectory,
                 radius=radius,
                 height=1.3,
                 sweep=2.0 * np.pi,  # closes the loop at the end
@@ -320,7 +323,7 @@ def main() -> None:
         attempt(f"config4_{mode}", run_config4)
 
     # ---- config 4d: SLAC on an injected-distortion sequence ------------------
-    def run_distorted():
+    def run_distorted(data_name="data_dist2", out_name="out_dist2", trajectory="orbit"):
         # Consumer-camera-scale field (~1.5% at the image corner).  The first
         # round-4 run injected 2x this and proved a negative result worth
         # recording: rigid ATE exploded to 217 mm, far beyond the 5 cm
@@ -331,12 +334,15 @@ def main() -> None:
         # every outer iteration, so run_optimize now supports
         # correspondence/optimize alternation rounds (corres_rounds).
         dist = dist_mod.make_distortion(42, radial_a=0.015, depth_b=0.004, grid_sigma=0.006)
-        data_d = root / "data_dist2"
-        ds_d = gen(data_d, frames=args.frames, scene="livingroom", radius=1.1, distortion=dist)
+        data_d = root / data_name
+        ds_d = gen(
+            data_d, frames=args.frames, scene="livingroom", radius=1.1,
+            distortion=dist, trajectory=trajectory,
+        )
         scene_sdf = scenes_mod.livingroom_scene()
         slac_cfg = SlacConfig(disp_prior_weight=0.01, arap_weight=1.0, outer_iterations=8)
         cfg_d = replace(
-            make_cfg(data_d, root / "out_dist2"),
+            make_cfg(data_d, root / out_name),
             slac_mode="rigid",
             slac=slac_cfg,
             corres_max_distance=0.07,
@@ -401,6 +407,20 @@ def main() -> None:
         return out
 
     attempt("config4_slac_distorted", run_distorted)
+
+    # ---- config 4s: SLAC on a SURVEY-trajectory distorted sequence ----------
+    # Round-5 identifiability result: on the circular orbit every surface is
+    # seen from one range/image-position combination, which makes f(u, v, d)
+    # barely observable from correspondence differentials — EXACT-association
+    # GN recovers only 0.28 of the learnable field (vs 0.53 on the survey
+    # trajectory; tools/sweep_fragopt.py + scenes.survey_trajectory
+    # docstring).  The orbit config above therefore measures a trajectory
+    # limit, not the optimizer; this config is the capability proof on a
+    # CVPR'14-style view-diverse scan.
+    attempt(
+        "config4_slac_survey",
+        lambda: run_distorted("data_dsurvey", "out_dsurvey", "survey"),
+    )
 
     # ---- config 4n: nonrigid on warp-corrupted fragments ---------------------
     def run_deformed():
