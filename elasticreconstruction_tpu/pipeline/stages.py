@@ -604,7 +604,15 @@ def run_optimize(
             edge_pairs,
             max_distance=cfg.corres_max_distance if max_distance is None else max_distance,
             capacity_per_edge=cfg.corres_capacity_per_edge,
-            pair_transforms=pair_T,
+            # Round 1 matches under the pairwise-refined ICP alignments
+            # (reference BuildCorrespondence semantics — removes the global
+            # -misalignment bias).  Rounds >= 2 drop them: pair_T was fitted
+            # to the UNCORRECTED clouds, so composing the learned lattice
+            # into matching while keeping pair_T mixes two inconsistent
+            # alignments; the refined global poses + current warp are the
+            # consistent pair (measured: the exact-state oracle matches at
+            # refined poses, and production association must converge to it).
+            pair_transforms=pair_T if displacement is None else None,
             edge_weights=edge_w,
             lattice=(
                 None

@@ -490,7 +490,8 @@ def main() -> None:
         # excluded the only genuine wrap-around constraints — are admitted
         # by mutual FPFH-signature retrieval instead of init distance.
         cfg_b = make_cfg(data_b, root / "out_bare")
-        stages.run_fragments(ds_b, cfg_b)
+        if not (Path(cfg_b.out_dir) / "fragments" / "fragments.log").exists():
+            stages.run_fragments(ds_b, cfg_b)
         reg = stages.run_registration(cfg_b, all_pairs=True)
         stages.run_posegraph(cfg_b)
         # NOTE (measured, round 4): the gate at the DRIFTED init excludes the
@@ -545,7 +546,8 @@ def main() -> None:
             # loops (measured precision 0.04 ungated, round 4) without any
             # per-scene constant (VERDICT r4 weak #5).
             cfg_s = make_cfg(data_s, root / f"out_{scene}")
-            stages.run_fragments(ds_s, cfg_s)
+            if not (Path(cfg_s.out_dir) / "fragments" / "fragments.log").exists():
+                stages.run_fragments(ds_s, cfg_s)
             stages.run_registration(cfg_s, all_pairs=True)
             stages.run_posegraph(cfg_s)
             stages.run_optimize(cfg_s)

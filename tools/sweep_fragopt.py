@@ -109,13 +109,12 @@ def sweep_nonrigid(variants=None):
     gt = io_logfmt.read_log(ROOT / "data" / "gt.log").matrices().astype(np.float32)
     sdf = scenes_mod.livingroom_scene()
     variants = variants or [
-        ("r4-best", dict(corres_max_distance=0.06, corres_rounds=3, corres_distance_decay=0.6),
+        # Round-5b: rounds >= 2 drop pair_T (stages.harvest) so re-association
+        # converges toward the exact-state oracle (refined poses + learned
+        # warps), with a longer coarse-to-fine schedule.
+        ("r5-a.3", dict(corres_max_distance=0.06, corres_rounds=5, corres_distance_decay=0.7),
          SlacConfig(disp_prior_weight=0.003, arap_weight=0.3, outer_iterations=10)),
-        ("arap1", dict(corres_max_distance=0.06, corres_rounds=3, corres_distance_decay=0.6),
-         SlacConfig(disp_prior_weight=0.003, arap_weight=1.0, outer_iterations=10)),
-        ("arap3", dict(corres_max_distance=0.06, corres_rounds=3, corres_distance_decay=0.6),
-         SlacConfig(disp_prior_weight=0.003, arap_weight=3.0, outer_iterations=10)),
-        ("arap1-tight", dict(corres_max_distance=0.04, corres_rounds=3, corres_distance_decay=0.6),
+        ("r5-a1", dict(corres_max_distance=0.06, corres_rounds=5, corres_distance_decay=0.7),
          SlacConfig(disp_prior_weight=0.003, arap_weight=1.0, outer_iterations=10)),
     ]
     results = {}
