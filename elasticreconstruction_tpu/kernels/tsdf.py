@@ -228,18 +228,20 @@ def scatter_update(
     w = hit_ok.astype(jnp.float32)
     flat = (ic[..., 0] * ny + ic[..., 1]) * nz + ic[..., 2]
     flat = jnp.where(hit_ok, flat, nx * ny * nz).reshape(-1)  # spill slot
-    # Two scatter-ADDS, deliberately: an overwrite row-scatter looked
-    # cheaper on paper (duplicate samples carry bit-identical center
-    # re-evaluations, so "any winner" = "mean of duplicates"), but measured
-    # 3x SLOWER on v5e (kernels_bench round 4: 255 vs 85 ms/frame at scene
-    # shape) — XLA:TPU lowers the reducing scatter better than the
-    # variable-winner overwrite form.  Keep the measured-faster reduction.
-    sums = jnp.zeros(nx * ny * nz + 1, jnp.float32).at[flat].add((obs * w).reshape(-1))
-    cnt = jnp.zeros(nx * ny * nz + 1, jnp.float32).at[flat].add(w.reshape(-1))
-    sums = sums[:-1].reshape(vol.shape)
-    cnt = cnt[:-1].reshape(vol.shape)
-    hit = cnt > 0
-    obs_mean = sums / jnp.maximum(cnt, 1.0)
+    # ONE scatter-MAX instead of two scatter-adds (round 5): duplicate
+    # samples in a voxel carry bit-identical center re-evaluations, so
+    # max-of-duplicates == mean-of-duplicates exactly, and the random-HBM
+    # read-modify-write count (the kernel's dominant cost — the round-5
+    # roofline adds a calibrated scatter term) halves.  A variable-winner
+    # OVERWRITE scatter was measured 3x slower in round 4 (255 vs 85 ms at
+    # scene shape) — but max is a reducing scatter like add, which XLA:TPU
+    # lowers well.  Masked samples carry -inf and land in the spill slot.
+    neg = jnp.float32(-jnp.inf)
+    obs_masked = jnp.where(hit_ok, obs, neg).reshape(-1)
+    mx = jnp.full(nx * ny * nz + 1, neg, jnp.float32).at[flat].max(obs_masked)
+    mx = mx[:-1].reshape(vol.shape)
+    hit = mx > neg
+    obs_mean = jnp.where(hit, mx, 0.0)
     w_old = vol.weight
     w_new = jnp.where(hit, w_old + 1.0, w_old)
     tsdf_new = jnp.where(

@@ -71,16 +71,17 @@ class PipelineConfig:
     #   "none"  — the reference's ungated all-pairs enumeration (CVPR'15
     #             parity; safe only with a trusted odometry backbone).
     #   "drift" — derived gate + content retrieval (default).  A pair whose
-    #             chain path contains NO suspect edges is admitted iff its
-    #             init centroid distance is within the measured adjacent-pair
-    #             spacing (x gate_reach_factor) plus the accumulated drift
-    #             budget of the path — everything the init could plausibly
-    #             be wrong by.  Pairs whose path crosses a suspect edge have
-    #             meaningless init distances; they are admitted by CONTENT
-    #             instead: mutual top-k FPFH-signature retrieval
-    #             (registration.retrieval), bounding how many candidates a
-    #             broken arc can propose while keeping the genuine
-    #             wrap-around constraints reachable.
+    #             chain path contains NO suspect edges is admitted iff the
+    #             fragments' posed bounding boxes intersect within the
+    #             path's accumulated drift budget + gate_margin — the
+    #             overlap criterion itself, evaluated with everything the
+    #             init could plausibly be wrong by.  Pairs whose path
+    #             crosses a suspect edge have meaningless init placement;
+    #             they are admitted by CONTENT instead: mutual top-k
+    #             FPFH-signature retrieval (registration.retrieval),
+    #             bounding how many candidates a broken arc can propose
+    #             while keeping the genuine wrap-around constraints
+    #             reachable.
     # A finite loop_candidate_radius still applies as a legacy override.
     loop_gating: str = "drift"
     # Per-edge drift budgets for the derived gate.  Healthy tracking on this
@@ -90,11 +91,10 @@ class PipelineConfig:
     # bounds the measured degenerate-arc drift (~0.5 m/fragment worst).
     drift_per_fragment: float = 0.05
     drift_suspect: float = 0.75
-    # Overlap reach = gate_reach_factor x median adjacent-pair centroid
-    # spacing (measured from the scene itself: consecutive fragments overlap
-    # by construction, so their spacing calibrates "how far apart can
-    # centroids of overlapping fragments sit").
-    gate_reach_factor: float = 2.0
+    # Base slack added to the drift budget when testing posed-AABB overlap
+    # (sensor noise + boxes of PARTIALLY seen surfaces underestimating true
+    # extent).  Scene-independent.
+    gate_margin: float = 0.3
     # Mutual top-k signature retrieval for suspect-path pairs.
     retrieval_topk: int = 5
     # Integration.  Scenes needing more than scene_max_shape voxels are tiled

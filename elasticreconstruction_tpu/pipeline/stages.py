@@ -289,15 +289,31 @@ def run_registration(
         delta = np.where(sus_edge, cfg.drift_suspect, cfg.drift_per_fragment)
         cum_budget = np.concatenate([[0.0], np.cumsum(delta)])
         cum_sus = np.concatenate([[0], np.cumsum(sus_edge.astype(int))])
-        adj_sp = float(
-            np.median(np.linalg.norm(cent[1:] - cent[:-1], axis=1))
-        )
-        reach = cfg.gate_reach_factor * adj_sp
+        # Overlap test: posed bounding boxes must intersect within the
+        # path's drift budget + a fixed slack.  Centroid distance was
+        # measured too strict on revisiting trajectories (config4_slac_survey:
+        # 62 of 190 genuinely-overlapping pairs admitted — two views of the
+        # same wall from different ranges have centroids ~1 m apart); AABB
+        # intersection is the overlap criterion itself, not a proxy, and
+        # still cuts cross-room aliased pairs whose boxes hug opposite walls.
+        lo_b = np.zeros((nf, 3), np.float32)
+        hi_b = np.zeros((nf, 3), np.float32)
+        for f, c in enumerate(clouds):
+            m = np.asarray(c.mask)
+            w = (
+                np.asarray(c.points)[m] @ gp[f, :3, :3].T + gp[f, :3, 3]
+                if m.any()
+                else np.zeros((1, 3), np.float32)
+            )
+            lo_b[f] = w.min(0)
+            hi_b[f] = w.max(0)
         admitted, suspect_path = [], set()
         for i, j in pairs:
             if cum_sus[j] - cum_sus[i] == 0:
-                budget = cum_budget[j] - cum_budget[i]
-                if np.linalg.norm(cent[i] - cent[j]) <= reach + budget:
+                margin = cfg.gate_margin + (cum_budget[j] - cum_budget[i])
+                if np.all(lo_b[i] - margin <= hi_b[j]) and np.all(
+                    lo_b[j] - margin <= hi_b[i]
+                ):
                     admitted.append((i, j))
             else:
                 suspect_path.add((i, j))
@@ -313,7 +329,7 @@ def run_registration(
                 signature_distances(sig), cfg.retrieval_topk, candidates=suspect_path
             )
         gate_stats = dict(
-            gate_reach=round(reach, 3),
+            gate_margin=cfg.gate_margin,
             gate_admitted=len(admitted),
             gate_suspect_path=len(suspect_path),
             gate_content_admitted=len(content),

@@ -346,11 +346,13 @@ def main() -> None:
             slac_mode="rigid",
             slac=slac_cfg,
             corres_max_distance=0.07,
-            corres_rounds=3,
-            # Round 5: tighten the association radius per alternation round
-            # (coarse-to-fine harvest) and weight long-baseline loop rows up
-            # (their viewpoint spread carries the distortion differential the
+            # Round 5: alternation re-associates for real (warped matching at
+            # refined poses) — five coarse-to-fine rounds walk the radius
+            # 70/49/34/24/17 mm toward the exact-state oracle's 20 mm as the
+            # lattice converges; long-baseline loop rows weighted up (their
+            # viewpoint spread carries the distortion differential the
             # adjacent-baseline rows cancel) — see PipelineConfig.
+            corres_rounds=5,
             corres_distance_decay=0.7,
             corres_baseline_weight=4.0,
         )
