@@ -55,6 +55,16 @@ class PipelineConfig:
     # far-field mismatches forever (the diagnosed config4_nonrigid overfit,
     # VERDICT r4 #2).
     corres_distance_decay: float = 1.0
+    # Regularizer annealing across alternation rounds: round r (0-based, R
+    # total) scales arap_weight by arap_anneal^(R-1-r) — stiff while the
+    # association radius is loose and matches unreliable, relaxing to the
+    # configured weight on the final round.  Rationale (measured, round 5):
+    # with per-fragment lattices, wrong early matches at the coarse radius
+    # let the warps bend clouds into a false consensus that re-association
+    # then confirms (data RMSE down, surface error UP); a stiff early lattice
+    # keeps round-1 near-rigid so the association converges before the warp
+    # is trusted.  1.0 = off.
+    arap_anneal: float = 1.0
     # Loop-candidate gating: all-pairs proposals whose fragment centroids sit
     # farther apart than this under the ODOMETRY-chain init cannot overlap
     # and are skipped.  inf = the reference's ungated all-pairs enumeration

@@ -426,6 +426,121 @@ def run_registration(
 # ----------------------------------------------------------------- posegraph
 
 
+def _gauge_consensus(
+    nf: int,
+    odo_T: dict,
+    loops: list,
+    suspect_edges: set,
+    pgo_cfg,
+) -> tuple[set, dict]:
+    """Select the consistent subset of suspect-path-crossing loop edges.
+
+    Splits the fragment chain into components at suspect edges, computes the
+    component-alignment gauge each crossing loop edge implies (via healthy
+    -only chains), clusters the gauges, rejects clusters whose ROTATION
+    disagrees with the full odometry chain beyond the per-suspect-edge
+    budget (see PGOConfig gauge_* fields for the measured rationale), and
+    returns (set of loop (i, j) to DROP, stats).
+    """
+    import numpy as np
+
+    comp = np.zeros(nf, int)
+    c = 0
+    for f in range(nf - 1):
+        comp[f] = c
+        if f in {a for a, _ in suspect_edges}:
+            c += 1
+    comp[nf - 1] = c
+    # Healthy-only chain poses (per component, rooted at its first fragment)
+    # and the full chain (suspect edges included) for the rotation prior.
+    cpose = [np.eye(4) for _ in range(nf)]
+    fpose = [np.eye(4) for _ in range(nf)]
+    for f in range(nf - 1):
+        T = np.asarray(odo_T[(f, f + 1)], np.float64)
+        fpose[f + 1] = fpose[f] @ T
+        cpose[f + 1] = cpose[f] @ T if (f, f + 1) not in suspect_edges else np.eye(4)
+    roots = {}
+    for f in range(nf):
+        roots.setdefault(int(comp[f]), f)
+
+    def rot_angle(R):
+        return float(
+            np.degrees(np.arccos(np.clip((np.trace(R[:3, :3]) - 1) / 2, -1.0, 1.0)))
+        )
+
+    from collections import defaultdict
+
+    by_cc = defaultdict(list)
+    n_sus_between = {}
+    for i, j, T in loops:
+        a, b = int(comp[i]), int(comp[j])
+        if a == b:
+            continue
+        G = cpose[i] @ np.asarray(T, np.float64) @ np.linalg.inv(cpose[j])
+        by_cc[(a, b)].append(((i, j), G))
+    drop: set = set()
+    stats = dict(crossing=0, dropped=0, component_pairs=0)
+    for (a, b), lst in by_cc.items():
+        stats["component_pairs"] += 1
+        stats["crossing"] += len(lst)
+        # Rotation budget from the number of suspect edges between the roots.
+        ra, rb = roots[a], roots[b]
+        lo, hi = min(ra, rb), max(ra, rb)
+        n_sus = sum(1 for (x, y) in suspect_edges if lo <= x < hi)
+        budget = (
+            pgo_cfg.gauge_rot_budget_base
+            + pgo_cfg.gauge_rot_budget_per_suspect * n_sus
+        )
+        # Chain-implied gauge between the same component frames: component
+        # frames are their roots' local frames (cpose[root] = I), so the
+        # full chain gives G_chain = inv(fpose[ra]) @ fpose[rb].
+        G_chain = np.linalg.inv(fpose[ra]) @ fpose[rb]
+        # Greedy clustering by SE3 distance to a representative.
+        clusters: list[list] = []
+        for e, G in lst:
+            placed = False
+            for cl in clusters:
+                D = np.linalg.inv(cl[0][1]) @ G
+                if (
+                    np.linalg.norm(D[:3, 3]) < pgo_cfg.gauge_cluster_trans
+                    and rot_angle(D) < pgo_cfg.gauge_cluster_rot
+                ):
+                    cl.append((e, G))
+                    placed = True
+                    break
+            if not placed:
+                clusters.append([(e, G)])
+        # Reject rotation-inconsistent clusters; keep the largest survivor
+        # (and any cluster consistent with IT — conservative: only drop
+        # edges in clusters that failed the rotation test or that conflict
+        # with the winner).
+        ok_clusters = [
+            cl
+            for cl in clusters
+            if rot_angle(np.linalg.inv(G_chain) @ cl[0][1]) <= budget
+        ]
+        if not ok_clusters:
+            # Nothing passes the rotation prior: keep everything and let the
+            # line process fight (no consensus evidence to act on).
+            continue
+        winner = max(ok_clusters, key=len)
+        keep = {e for e, _ in winner}
+        for cl in ok_clusters:
+            if cl is winner:
+                continue
+            D = np.linalg.inv(winner[0][1]) @ cl[0][1]
+            if (
+                np.linalg.norm(D[:3, 3]) < 2 * pgo_cfg.gauge_cluster_trans
+                and rot_angle(D) < 2 * pgo_cfg.gauge_cluster_rot
+            ):
+                keep |= {e for e, _ in cl}
+        for e, _ in lst:
+            if e not in keep:
+                drop.add(e)
+                stats["dropped"] += 1
+    return drop, stats
+
+
 def _spanning_tree_init(
     nf: int, ii, jj, Ts, suspect_edges: set, fallback: np.ndarray
 ) -> np.ndarray:
@@ -492,9 +607,37 @@ def run_posegraph(cfg: PipelineConfig) -> None:
                 a, b = map(int, line.split())
                 suspect_edges.add((a, b))
 
-    ii = [e.i for e in odo.entries] + [e.i for e in loop.entries]
-    jj = [e.j for e in odo.entries] + [e.j for e in loop.entries]
-    Ts = [e.transform for e in odo.entries] + [e.transform for e in loop.entries]
+    # Gauge-consensus pre-filter (round 5): loop edges crossing suspect
+    # stretches are clustered by the component-alignment gauge they imply;
+    # clusters whose rotation disagrees with the odometry chain beyond the
+    # drift budget are dropped BEFORE the line process (see _gauge_consensus
+    # and PGOConfig gauge_* for the measured rationale).
+    loop_entries = list(loop.entries)
+    loop_info_entries = list(loop_info.entries)
+    gauge_stats: dict = {}
+    if suspect_edges and loop_entries:
+        nf_ = len(bases)
+        odo_T = {(e.i, e.j): e.transform for e in odo.entries}
+        if all((f, f + 1) in odo_T for f in range(nf_ - 1)):
+            drop, gauge_stats = _gauge_consensus(
+                nf_,
+                odo_T,
+                [(e.i, e.j, e.transform) for e in loop_entries],
+                suspect_edges,
+                cfg.posegraph,
+            )
+            if drop:
+                keep_idx = [
+                    k
+                    for k, e in enumerate(loop_entries)
+                    if (e.i, e.j) not in drop
+                ]
+                loop_entries = [loop_entries[k] for k in keep_idx]
+                loop_info_entries = [loop_info_entries[k] for k in keep_idx]
+
+    ii = [e.i for e in odo.entries] + [e.i for e in loop_entries]
+    jj = [e.j for e in odo.entries] + [e.j for e in loop_entries]
+    Ts = [e.transform for e in odo.entries] + [e.transform for e in loop_entries]
     # Suspect odometry edges carry DOWNSCALED information in addition to
     # being line-process-eligible: tracking health measured them unreliable,
     # and at full weight a run of mutually-consistent garbage chain edges
@@ -505,9 +648,9 @@ def run_posegraph(cfg: PipelineConfig) -> None:
     infos = [
         e.info * (cfg.posegraph.suspect_info_scale if (e.i, e.j) in suspect_edges else 1.0)
         for e in odo_info.entries
-    ] + [e.info for e in loop_info.entries]
+    ] + [e.info for e in loop_info_entries]
     is_odo = [(e.i, e.j) not in suspect_edges for e in odo.entries] + [False] * len(
-        loop.entries
+        loop_entries
     )
     n_odo = len(odo.entries)
     if not ii:
@@ -550,10 +693,11 @@ def run_posegraph(cfg: PipelineConfig) -> None:
         "posegraph",
         "done",
         edges=len(ii),
-        loops=len(loop.entries),
+        loops=len(loop_entries),
         loops_kept=int(kept[n_odo:].sum()),
         suspect_odometry=len(suspect_edges),
         suspect_odometry_kept=int(kept[:n_odo][~np.array(is_odo[:n_odo])].sum()),
+        **{f"gauge_{k}": v for k, v in gauge_stats.items()},
         seconds=round(time.time() - t0, 2),
     )
 
@@ -662,7 +806,16 @@ def run_optimize(
         _log("optimize", "skipped (mode=none)")
         return {"mode": "none"}
     scfg = cfg.slac_config()
-    res = optimize_fragments(jnp.asarray(poses), corres, scfg, num_fragments=len(clouds))
+    def round_scfg(r: int):
+        """Per-round config: ARAP annealing (see PipelineConfig.arap_anneal)."""
+        if cfg.arap_anneal == 1.0:
+            return scfg
+        scale = cfg.arap_anneal ** (cfg.corres_rounds - 1 - r)
+        return scfg._replace(arap_weight=scfg.arap_weight * scale)
+
+    res = optimize_fragments(
+        jnp.asarray(poses), corres, round_scfg(0), num_fragments=len(clouds)
+    )
     for r in range(1, cfg.corres_rounds):
         # Re-associate at the refined state and continue from it (ICCV'13
         # alternation — see PipelineConfig.corres_rounds).  The refined
@@ -680,7 +833,7 @@ def run_optimize(
         res = optimize_fragments(
             res.poses,
             corres,
-            scfg,
+            round_scfg(r),
             num_fragments=len(clouds),
             init_displacement=res.displacement,
         )

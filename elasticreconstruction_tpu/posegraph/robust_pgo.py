@@ -69,6 +69,21 @@ class PGOConfig(NamedTuple):
     # as weak connectivity priors instead of full-weight measurements, so a
     # run of consistent garbage chain edges cannot outvote genuine loops.
     suspect_info_scale: float = 0.01
+    # Gauge-consensus pre-filter for loop edges whose chain path crosses
+    # suspect stretches (pipeline/stages.py _gauge_consensus).  Blind
+    # -stretch odometry TRANSLATION drifts by meters, but its ROTATION stays
+    # gyro-grade (measured on config3_degenerate: 4.2 deg chain-vs-truth over
+    # a 10-fragment blind arc, while self-consistent false planar matches
+    # implied a 179 deg flip) — so candidate component-alignment gauges are
+    # rejected when their rotation disagrees with the odometry chain beyond
+    # base + per-suspect-edge budget.  Survivor clusters are kept largest
+    # -first; crossing edges outside winning clusters are dropped BEFORE the
+    # line process, which otherwise zeroes the whole mutually-inconsistent
+    # crossing set and leaves the healthy sub-maps unconstrained.
+    gauge_rot_budget_base: float = 15.0  # degrees
+    gauge_rot_budget_per_suspect: float = 6.0  # degrees per suspect edge
+    gauge_cluster_trans: float = 0.35  # m — cluster membership threshold
+    gauge_cluster_rot: float = 12.0  # degrees
 
 
 class PGOResult(NamedTuple):

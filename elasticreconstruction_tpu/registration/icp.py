@@ -101,11 +101,20 @@ def icp_point_to_plane_batch(
     damping: float = 1e-6,
     coarse_iterations: int = 0,
     coarse_stride: int = 4,
+    dead: jax.Array | None = None,
 ) -> ICPResult:
     """Batched refine: ``src``/``dst`` carry ``(B, N, 3)`` arrays, init ``(B, 4, 4)``.
 
     ``dst`` must carry normals.  Runs up to ``iterations`` GN steps
     (static; XLA-friendly) with a batch-global early exit.
+
+    ``dead`` (B,) bool: lanes the caller already knows are rejects (e.g.
+    RANSAC found too few inliers — the all-pairs stage feeds many
+    non-overlapping candidates).  They never gate the batch's early exit,
+    so a batch of N dead + 1 converging lane stops as soon as the one lane
+    converges instead of thrashing all ``iterations`` (the measured
+    production drain is ICP-dominated; dead lanes' results are rejected by
+    the caller's success thresholds either way).
 
     ``coarse_iterations > 0`` prepends a coarse phase on every
     ``coarse_stride``-th src point: per-iteration cost is dominated by the
@@ -154,6 +163,8 @@ def icp_point_to_plane_batch(
             )
             converged = jnp.sum(delta * delta, axis=-1) <= tol2
             hopeless = (it + 1 >= probe_iters) & (stats[0] / n_src < hopeless_fitness)
+            if dead is not None:
+                hopeless = hopeless | dead
             active = jnp.any(~(converged | hopeless))
             return (it + 1, T_new, stats[0], stats[1], active)
 

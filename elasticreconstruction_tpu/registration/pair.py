@@ -220,6 +220,9 @@ def _register_core(
         iterations=cfg.icp_iterations,
         coarse_iterations=cfg.icp_coarse_iterations,
         coarse_stride=cfg.icp_coarse_stride,
+        # RANSAC-failed lanes can never pass the success criterion below —
+        # don't let them gate the batch's ICP early exit.
+        dead=rr.num_inliers < cfg.min_inliers,
     )
 
     # Information matrix over src points expressed in the target (i) frame,

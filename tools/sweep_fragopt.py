@@ -109,12 +109,15 @@ def sweep_nonrigid(variants=None):
     gt = io_logfmt.read_log(ROOT / "data" / "gt.log").matrices().astype(np.float32)
     sdf = scenes_mod.livingroom_scene()
     variants = variants or [
-        # Round-5b: rounds >= 2 drop pair_T (stages.harvest) so re-association
-        # converges toward the exact-state oracle (refined poses + learned
-        # warps), with a longer coarse-to-fine schedule.
-        ("r5-a.3", dict(corres_max_distance=0.06, corres_rounds=5, corres_distance_decay=0.7),
+        # Round-5c: ARAP annealing — stiff lattice while association is
+        # loose, relaxing to the target weight on the final round (the r5b
+        # sweep measured free warps locking wrong early matches into a false
+        # consensus: data RMSE down, surface UP).
+        ("r5c-a.3-an3", dict(corres_max_distance=0.06, corres_rounds=5,
+                             corres_distance_decay=0.7, arap_anneal=3.0),
          SlacConfig(disp_prior_weight=0.003, arap_weight=0.3, outer_iterations=10)),
-        ("r5-a1", dict(corres_max_distance=0.06, corres_rounds=5, corres_distance_decay=0.7),
+        ("r5c-a1-an3", dict(corres_max_distance=0.06, corres_rounds=5,
+                            corres_distance_decay=0.7, arap_anneal=3.0),
          SlacConfig(disp_prior_weight=0.003, arap_weight=1.0, outer_iterations=10)),
     ]
     results = {}
