@@ -243,6 +243,46 @@ def calibrate():
     # as the consumer's own FMA mass, not here).
     peaks["peak_vpu_where_gops"] = NCH * GRID * BQ * BL / (dt * 1e-3) / 1e9
 
+    # Threshold-sum rate (round 5): the FPFH kernel's indicator mass is
+    # `(mask & (x >= t)).astype(f32)` accumulations — compare + bool-AND +
+    # cast + add — whose bool legs run at packed (sub-f32) width, NOT at the
+    # f32 select rate; scored against the where-chain peak the kernel
+    # "beat" its own roofline 2.3x.  Calibrate the exact op structure.
+    def ts_kernel(x_ref, o_ref):
+        x = x_ref[:]
+        m = x > 0.2  # fixed mask operand (bool), reused across iterations
+
+        def body(k, accs):
+            t = 0.4 + 1e-4 * jnp.float32(k)
+            return tuple(
+                a + (m & (x >= t + 1e-3 * c)).astype(jnp.float32)
+                for c, a in enumerate(accs)
+            )
+
+        accs = jax.lax.fori_loop(
+            0, ITERS, body, tuple(x + 1e-5 * k for k in range(NCH))
+        )
+        o_ref[:] = sum(accs)
+
+    pts_ = lambda v: pl.pallas_call(
+        ts_kernel,
+        grid=(GRID,),
+        in_specs=[pl.BlockSpec((BQ, BL), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BQ, BL), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((GRID * BQ, BL), jnp.float32),
+    )(v)
+
+    @jax.jit
+    def vpu_ts(x, seed):
+        def body(c, _):
+            return pts_(c), ()
+
+        c, _ = jax.lax.scan(body, x + seed * 1e-9, None, length=K)
+        return c[0, :8]
+
+    dt = _time_scan(vpu_ts, (xb,), K * ITERS)
+    peaks["peak_threshold_sum_gops"] = NCH * GRID * BQ * BL / (dt * 1e-3) / 1e9
+
     # Random 32-bit gather rates: HBM-scale table (64 MB — raycast's TSDF
     # volume) and VMEM-scale table (1 MB — fuse's depth map).
     _progress("calibrate: gather")
@@ -313,6 +353,9 @@ def _sol(entry, peaks):
         "gather_vmem_ms": model.get("gathers_vmem", 0) / (peaks["peak_gather_vmem_geps"] * 1e9) * 1e3,
         "scatter_hbm_ms": model.get("scatters_hbm", 0)
         / (peaks.get("peak_scatter_hbm_geps", 1e12) * 1e9)
+        * 1e3,
+        "threshold_sum_ms": model.get("threshold_sum_ops", 0)
+        / (peaks.get("peak_threshold_sum_gops", 1e12) * 1e9)
         * 1e3,
     }
     entry["sol_breakdown_ms"] = {k: round(v, 4) for k, v in times.items()}
@@ -609,18 +652,19 @@ def bench_kernels(peaks, want=None):
         # spfh_block + mix_block), per pair.  FMA-class ops (counting
         # sqrt/rsqrt/div at their ~4-6-op polynomial cost): pair frame —
         # dp, d², sqrt, dpn, two crosses, two normalizations, four dots
-        # ≈ 66; theta half-plane prologues 10×3 = 30; mix epilogue ≈ 6
-        # → ~100.  Compare/select ops (scored against the separately
-        # calibrated where-op peak — FMA units overstated them 3.5x in the
-        # round-3 artifact): masks 2, alpha/phi thresholds 20, theta
-        # cmp+combine ≈ 21, masked-cum selects 33, mix select 1 → ~77.
+        # ≈ 66; theta half-plane rotations 10×3 = 30; mix epilogue ≈ 6
+        # → ~100.  Indicator mass `(w & (x >= t)).float()` accumulations
+        # (round-5 recalibration: these bool-legged chains issue at packed
+        # width, measured ~2x the f32 select-chain rate — scored against
+        # the matching threshold-sum calibration): alpha/phi thresholds 20,
+        # theta half-plane + quadrant combine ≈ 13 → ~33 per pair.
         e = _sol({
             "kernel": "fpfh.fpfh_radius",
             "shape": "N=4096, radius 0.25",
             "time_ms": round(dt, 3),
             "model": {
                 "vpu_ops": n2 * 100,
-                "vpu_where_ops": n2 * 77,
+                "threshold_sum_ops": n2 * 33,
                 "mxu_flops": n2 * (12 + 66), # two d2 passes + SPFH mix matmul
             },
         }, peaks)

@@ -286,7 +286,8 @@ def main() -> None:
 
     def run_config3():
         t0 = time.time()
-        stages.run_fragments(ds, cfg3)
+        if not (Path(cfg3.out_dir) / "fragments" / "fragments.log").exists():
+            stages.run_fragments(ds, cfg3)
         t_frag = time.time() - t0
         t1 = time.time()
         reg_cold = stages.run_registration(cfg3, all_pairs=True)

@@ -104,6 +104,21 @@ def base_cfg(out_dir: Path, **kw) -> PipelineConfig:
     )
 
 
+def _tight_variants():
+    # Tight-start: rigid poses on this config are excellent (29 mm frag ATE),
+    # so the 6 cm first-round radius mostly buys WRONG matches that the
+    # free per-fragment lattices then bake in; start near the oracle's 2 cm
+    # and tighten gently.
+    return [
+        ("r5d-a1-tight", dict(corres_max_distance=0.04, corres_rounds=5,
+                              corres_distance_decay=0.85, arap_anneal=2.0),
+         SlacConfig(disp_prior_weight=0.003, arap_weight=1.0, outer_iterations=10)),
+        ("r5d-a.3-tight", dict(corres_max_distance=0.03, corres_rounds=4,
+                               corres_distance_decay=0.85, arap_anneal=2.0),
+         SlacConfig(disp_prior_weight=0.003, arap_weight=0.3, outer_iterations=10)),
+    ]
+
+
 def sweep_nonrigid(variants=None):
     out_dir = ROOT / "out_deformed"
     gt = io_logfmt.read_log(ROOT / "data" / "gt.log").matrices().astype(np.float32)
@@ -181,5 +196,7 @@ if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "nonrigid"
     if what == "nonrigid":
         sweep_nonrigid()
+    elif what == "nonrigid-tight":
+        sweep_nonrigid(_tight_variants())
     else:
         sweep_slac()
