@@ -65,6 +65,15 @@ class PipelineConfig:
     # keeps round-1 near-rigid so the association converges before the warp
     # is trusted.  1.0 = off.
     arap_anneal: float = 1.0
+    # Keep the pairwise-refined ICP transforms as the matching alignment on
+    # re-association rounds >= 2 (instead of switching to refined global
+    # poses + learned warp).  Measured split decision (round 5): for the
+    # NONRIGID mode the per-edge ICP alignment absorbs each edge's rigid
+    # warp component and gives tighter matches (surface_improvement 0.86 vs
+    # 0.73 without); for shared-lattice SLAC the refined-state matching is
+    # what converges toward the exact-association oracle.  Default False
+    # (refined-state matching).
+    corres_reassoc_pair_transforms: bool = False
     # Loop-candidate gating: all-pairs proposals whose fragment centroids sit
     # farther apart than this under the ODOMETRY-chain init cannot overlap
     # and are skipped.  inf = the reference's ungated all-pairs enumeration

@@ -766,13 +766,16 @@ def run_optimize(
             capacity_per_edge=cfg.corres_capacity_per_edge,
             # Round 1 matches under the pairwise-refined ICP alignments
             # (reference BuildCorrespondence semantics — removes the global
-            # -misalignment bias).  Rounds >= 2 drop them: pair_T was fitted
-            # to the UNCORRECTED clouds, so composing the learned lattice
-            # into matching while keeping pair_T mixes two inconsistent
-            # alignments; the refined global poses + current warp are the
-            # consistent pair (measured: the exact-state oracle matches at
-            # refined poses, and production association must converge to it).
-            pair_transforms=pair_T if displacement is None else None,
+            # -misalignment bias).  Rounds >= 2 default to refined global
+            # poses + current warp (the exact-state oracle's alignment);
+            # corres_reassoc_pair_transforms keeps pair_T instead — measured
+            # better for NONRIGID (the per-edge ICP absorbs each edge's
+            # rigid warp component).  See PipelineConfig.
+            pair_transforms=(
+                pair_T
+                if displacement is None or cfg.corres_reassoc_pair_transforms
+                else None
+            ),
             edge_weights=edge_w,
             lattice=(
                 None

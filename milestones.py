@@ -437,12 +437,18 @@ def main() -> None:
         dst_cfg = replace(
             base_cfg, out_dir=str(out_dir), corres_max_distance=0.06,
             corres_rounds=3,
-            # Round 5: the alternation now actually re-associates (ADVICE r4
-            # #2) and tightens the radius per round — the diagnosed r4
-            # overfit came from a fixed 6 cm basin feeding far-field
-            # mismatches to every round.
+            # Round 5, best measured combination (tools/sweep_fragopt.py
+            # ladder: r4 0.78 -> 0.86): real re-association with per-round
+            # radius decay, pairwise ICP alignments KEPT as the matching
+            # frame (they absorb each edge's rigid warp component —
+            # measured better than refined-state matching for per-fragment
+            # lattices), arap_weight 1.0 (0.3 overfits under NN association;
+            # the exact-association oracle on these clouds reaches
+            # surface_improvement 1.42, bounding what association quality
+            # still costs).
             corres_distance_decay=0.6,
-            slac=SlacConfig(disp_prior_weight=0.003, arap_weight=0.3, outer_iterations=10),
+            corres_reassoc_pair_transforms=True,
+            slac=SlacConfig(disp_prior_weight=0.003, arap_weight=1.0, outer_iterations=10),
         )
         dst = dst_cfg.p_fragments()
         dst.mkdir(parents=True, exist_ok=True)

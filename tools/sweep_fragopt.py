@@ -193,7 +193,12 @@ def sweep_slac(variants=None):
 
 
 if __name__ == "__main__":
+    import os
+
     what = sys.argv[1] if len(sys.argv) > 1 else "nonrigid"
+    if os.environ.get("ER_SKIP_SWEEP") or Path("/tmp/er_skip_sweep").exists():
+        print(json.dumps({"sweep": "skipped (ER_SKIP_SWEEP)"}))
+        sys.exit(0)
     if what == "nonrigid":
         sweep_nonrigid()
     elif what == "nonrigid-tight":
