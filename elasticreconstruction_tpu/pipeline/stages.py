@@ -432,6 +432,7 @@ def _gauge_consensus(
     loops: list,
     suspect_edges: set,
     pgo_cfg,
+    trans_per_suspect: float = 0.75,
 ) -> tuple[set, dict]:
     """Select the consistent subset of suspect-path-crossing loop edges.
 
@@ -491,6 +492,7 @@ def _gauge_consensus(
             pgo_cfg.gauge_rot_budget_base
             + pgo_cfg.gauge_rot_budget_per_suspect * n_sus
         )
+        t_budget = pgo_cfg.gauge_trans_budget_base + trans_per_suspect * n_sus
         # Chain-implied gauge between the same component frames: component
         # frames are their roots' local frames (cpose[root] = I), so the
         # full chain gives G_chain = inv(fpose[ra]) @ fpose[rb].
@@ -518,10 +520,20 @@ def _gauge_consensus(
             cl
             for cl in clusters
             if rot_angle(np.linalg.inv(G_chain) @ cl[0][1]) <= budget
+            and np.linalg.norm((np.linalg.inv(G_chain) @ cl[0][1])[:3, 3]) <= t_budget
         ]
         if not ok_clusters:
-            # Nothing passes the rotation prior: keep everything and let the
-            # line process fight (no consensus evidence to act on).
+            # Nothing passes the chain priors: every crossing edge asserts a
+            # component placement the (gyro-grade) chain rotation or the
+            # translation drift budget says is impossible — aliased matches.
+            # Drop them all and let the chain (+ any consistent edges between
+            # OTHER component pairs) place the components.  Measured
+            # (livingroom2): keeping them "for the line process to fight"
+            # loses — 10 mutually-consistent 179-degree flips outvote the
+            # backbone.
+            for e, _ in lst:
+                drop.add(e)
+                stats["dropped"] += 1
             continue
         winner = max(ok_clusters, key=len)
         keep = {e for e, _ in winner}
@@ -625,6 +637,7 @@ def run_posegraph(cfg: PipelineConfig) -> None:
                 [(e.i, e.j, e.transform) for e in loop_entries],
                 suspect_edges,
                 cfg.posegraph,
+                trans_per_suspect=cfg.drift_suspect,
             )
             if drop:
                 keep_idx = [

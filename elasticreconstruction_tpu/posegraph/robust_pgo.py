@@ -82,6 +82,12 @@ class PGOConfig(NamedTuple):
     # crossing set and leaves the healthy sub-maps unconstrained.
     gauge_rot_budget_base: float = 15.0  # degrees
     gauge_rot_budget_per_suspect: float = 6.0  # degrees per suspect edge
+    # Translation budget: base + drift_suspect x (suspect edges in path) —
+    # rotation alone cannot reject TRANSLATION-aliased matches (parallel
+    # walls across a symmetric room imply near-zero rotation but meters of
+    # translation); over a SHORT suspect stretch the chain's translation is
+    # also trustworthy within the drift budget, so both priors apply.
+    gauge_trans_budget_base: float = 0.5  # m
     gauge_cluster_trans: float = 0.35  # m — cluster membership threshold
     gauge_cluster_rot: float = 12.0  # degrees
 

@@ -81,9 +81,10 @@ def test_no_suspects_is_noop_shape():
     assert drop == set()
 
 
-def test_all_clusters_rejected_keeps_everything():
-    """No cluster passes the rotation prior -> no consensus evidence; keep
-    all edges and let the line process adjudicate (conservative fallback)."""
+def test_all_clusters_rejected_drops_all():
+    """No cluster passes the chain priors -> every crossing edge asserts an
+    impossible placement (aliased matches); drop them all and let the chain
+    place the components (measured on livingroom2: keeping them loses)."""
     nf = 10
     suspect_f = {4}
     suspect = {(4, 5)}
@@ -97,4 +98,24 @@ def test_all_clusters_rejected_keeps_everything():
         (2, 9, np.linalg.inv(gt_pose[2]) @ gt_pose[9] @ flip),
     ]
     drop, _ = _gauge_consensus(nf, odo, loops, suspect, PGOConfig())
-    assert drop == set()
+    assert drop == {(1, 8), (2, 9)}
+
+
+def test_translation_aliased_cluster_dropped():
+    """Rotation-plausible but translation-aliased matches (parallel walls
+    across a room) are rejected by the translation drift budget."""
+    nf = 10
+    suspect_f = {4}
+    suspect = {(4, 5)}
+    odo = _chain(nf, suspect_f)
+    gt_pose = [np.eye(4)]
+    for f in range(nf - 1):
+        gt_pose.append(gt_pose[-1] @ _rt(angle_deg=4.0, t=(0.1, 0, 0.02)))
+    slide = _rt(angle_deg=2.0, t=(3.0, 0, 0))  # small rotation, meters off
+    loops = [
+        (1, 8, np.linalg.inv(gt_pose[1]) @ gt_pose[8]),  # true
+        (2, 8, np.linalg.inv(gt_pose[2]) @ gt_pose[8] @ slide),
+        (3, 9, np.linalg.inv(gt_pose[3]) @ gt_pose[9] @ slide),
+    ]
+    drop, _ = _gauge_consensus(nf, odo, loops, suspect, PGOConfig())
+    assert drop == {(2, 8), (3, 9)}
