@@ -116,6 +116,13 @@ class PipelineConfig:
     gate_margin: float = 0.3
     # Mutual top-k signature retrieval for suspect-path pairs.
     retrieval_topk: int = 5
+    # Near-diagonal pairs (j - i <= this) are ALWAYS admitted under drift
+    # gating: they are O(N), temporally local overlap is near-certain, and
+    # measured (livingroom2) the retrieval/budget path missed short-range
+    # suspect-crossing TRUE pairs like (13,15)/(14,16) that re-anchor a
+    # component across its suspect stretch.  The gauge consensus still
+    # filters their registrations.
+    gate_near_diagonal: int = 3
     # Integration.  Scenes needing more than scene_max_shape voxels are tiled
     # into overlapping blocks of that shape (integrate.blocks) — never clamped.
     scene_voxel_size: float = 0.015
